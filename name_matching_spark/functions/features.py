@@ -1,0 +1,44 @@
+"""The 8-feature pairwise vector — single source of truth for train & serve.
+
+Column order is the load-bearing contract (mirrors the reference's fixed
+feature order, predict_model.py:58-67 in vietexob/name-matching).  The same
+function featurizes the driver-side training frame and every Arrow batch
+inside the Spark scorer UDF, so train/serve skew is impossible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from name_matching_spark.functions import similarity as sim
+from name_matching_spark.functions.tfidf import TfidfModel
+
+FEATURE_COLS = [
+    "jaccard_sim",
+    "cosine_sim",
+    "ratio",
+    "sorted_token_ratio",
+    "token_set_ratio",
+    "partial_ratio",
+    "emb_distance",
+    "len_diff",
+]
+
+
+def build_features(xs, ys, tfidf: TfidfModel) -> np.ndarray:
+    """(n, 8) float64 feature matrix for aligned batches of *normalized*
+    names.  Inputs must be non-null; empty strings are legal and score 0.
+    """
+    xs = list(xs)
+    ys = list(ys)
+    cols = [
+        sim.jaccard_batch(xs, ys),
+        tfidf.cosine_pairs(xs, ys),
+        sim.ratio_batch(xs, ys),
+        sim.sorted_token_ratio_batch(xs, ys),
+        sim.token_set_ratio_batch(xs, ys),
+        sim.partial_ratio_batch(xs, ys).astype(np.float64),
+        sim.ngram_cosine_batch(xs, ys),
+        sim.len_diff_batch(xs, ys).astype(np.float64),
+    ]
+    return np.column_stack(cols)

@@ -1,0 +1,260 @@
+"""Vectorized (numpy) string-similarity kernels for the pairwise scorer.
+
+These are the executable semantics of the reference's 8-feature vector
+(``name_matching/features/build_features.py:145-241`` in
+vietexob/name-matching), re-implemented from scratch for batch execution
+inside Arrow-batched pandas UDFs.  No per-row Spark UDFs anywhere: each
+function takes whole batches (lists / ndarrays of strings) and runs the
+dynamic programs across the batch dimension in numpy.
+
+Feature map (reference -> here):
+
+* JACCARD_SIM          -> :func:`jaccard_batch`       (token IoU with *list*
+  lengths in the denominator, matching build_features.py:44-63)
+* RATIO                -> :func:`ratio_batch`          (1 - lev/max(len))
+* SORTED_TOKEN_RATIO   -> ratio over token-sorted strings
+* TOKEN_SET_RATIO      -> ratio over sorted distinct tokens
+* PARTIAL_RATIO        -> :func:`partial_ratio_batch`  (best-window edit
+  similarity on a 0-100 int scale, reference scale contract)
+* COSINE_SIM           -> tfidf.py (word 1-2-gram TF-IDF cosine)
+* EMB_DISTANCE         -> :func:`ngram_cosine_batch`   (char-3-gram hashed
+  cosine; the deterministic stand-in for the reference's sentence-embedding
+  cosine, as sanctioned by the target feature list: "n-gram cosine")
+* LEN_DIFF             -> trivial ``abs(len(x)-len(y))``
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Encoding helpers
+# ---------------------------------------------------------------------------
+
+
+def encode_batch(strs) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a batch of strings into a right-padded (n, Lmax) int32 matrix
+    of code points plus a length vector.  Pad value is -1 (never a cp)."""
+    n = len(strs)
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int32, count=n)
+    lmax = int(lens.max()) if n else 0
+    mat = np.full((n, max(lmax, 1)), -1, dtype=np.int32)
+    for k, s in enumerate(strs):
+        if s:
+            mat[k, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    return mat, lens
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein (batched Wagner-Fischer across the batch dimension)
+# ---------------------------------------------------------------------------
+
+
+def levenshtein_batch(xs, ys) -> np.ndarray:
+    """Edit distances for aligned batches of strings.
+
+    DP rows are advanced for the whole batch at once; the inner loops run
+    over character positions (bounded by max name length), not rows.
+    """
+    n = len(xs)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    A, la = encode_batch(xs)
+    B, lb = encode_batch(ys)
+    La, Lb = int(la.max()), int(lb.max())
+    dp = np.tile(np.arange(Lb + 1, dtype=np.int32), (n, 1))
+    result = lb.astype(np.int32).copy()  # rows with la == 0
+    for i in range(1, La + 1):
+        prev_diag = dp[:, 0].copy()
+        dp[:, 0] = i
+        ai = A[:, i - 1]
+        for j in range(1, Lb + 1):
+            cur = dp[:, j].copy()
+            cost = (ai != B[:, j - 1]).astype(np.int32)
+            np.minimum(dp[:, j - 1] + 1, cur + 1, out=dp[:, j])
+            np.minimum(dp[:, j], prev_diag + cost, out=dp[:, j])
+            prev_diag = cur
+        hit = la == i
+        if hit.any():
+            result[hit] = dp[hit, lb[hit]]
+    return result
+
+
+def levenshtein(x: str, y: str) -> int:
+    """Single-pair convenience twin (tests, driver-side tooling)."""
+    return int(levenshtein_batch([x], [y])[0])
+
+
+# ---------------------------------------------------------------------------
+# Ratio features (reference build_features.py:20-41)
+# ---------------------------------------------------------------------------
+
+
+def ratio_batch(xs, ys) -> np.ndarray:
+    """1 - lev(strip(x), strip(y)) / max(len(x), len(y), 1).
+
+    NB the reference strips before the edit distance but uses the
+    *unstripped* lengths in the denominator — preserved here.
+    """
+    sx = [s.strip() for s in xs]
+    sy = [s.strip() for s in ys]
+    lev = levenshtein_batch(sx, sy).astype(np.float64)
+    denom = np.maximum(
+        np.fromiter((len(s) for s in xs), dtype=np.int64, count=len(xs)),
+        np.fromiter((len(s) for s in ys), dtype=np.int64, count=len(ys)),
+    )
+    denom = np.maximum(denom, 1).astype(np.float64)
+    return 1.0 - lev / denom
+
+
+def sort_tokens(s: str) -> str:
+    return " ".join(sorted(s.split()))
+
+
+def sort_distinct_tokens(s: str) -> str:
+    return " ".join(sorted(set(s.split())))
+
+
+def sorted_token_ratio_batch(xs, ys) -> np.ndarray:
+    return ratio_batch([sort_tokens(s) for s in xs], [sort_tokens(s) for s in ys])
+
+
+def token_set_ratio_batch(xs, ys) -> np.ndarray:
+    return ratio_batch(
+        [sort_distinct_tokens(s) for s in xs], [sort_distinct_tokens(s) for s in ys]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard (token IoU, list-length denominator — build_features.py:44-63)
+# ---------------------------------------------------------------------------
+
+
+def jaccard(x: str, y: str) -> float:
+    if len(x) == 0 or len(y) == 0:
+        return 0.0
+    tx, ty = x.split(), y.split()
+    common = set(tx) & set(ty)
+    if not common:
+        return 0.0
+    return float(len(common)) / (len(tx) + len(ty) - len(common))
+
+
+def jaccard_batch(xs, ys) -> np.ndarray:
+    # Token-set work is inherently per-string; names are ~2-4 tokens so the
+    # set ops dominate and a tight comprehension is the fastest pure-Python
+    # form inside an Arrow batch.
+    return np.fromiter(
+        (jaccard(x.strip(), y.strip()) for x, y in zip(xs, ys)),
+        dtype=np.float64,
+        count=len(xs),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partial ratio (0-100 int) — best-window edit similarity
+# ---------------------------------------------------------------------------
+
+
+def partial_ratio_batch(xs, ys, max_windows: int = 64) -> np.ndarray:
+    """Best sliding-window similarity of the shorter string against
+    equal-length substrings of the longer, on the reference's 0-100 int
+    scale: ``round(100 * max_w (1 - lev(short, w)/len(short)))``.
+
+    All windows across the whole batch are flattened into one
+    :func:`levenshtein_batch` call, then segment-reduced — no per-row DP.
+    ``max_windows`` caps pathological long-vs-short pairs (windows are then
+    strided evenly, always including the first and last).
+    """
+    n = len(xs)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    shorts, windows, seg = [], [], []
+    result = np.zeros(n, dtype=np.int64)
+    for k in range(n):
+        s, l = xs[k], ys[k]
+        if len(s) > len(l):
+            s, l = l, s
+        m = len(s)
+        if m == 0:
+            result[k] = 0
+            continue
+        n_win = len(l) - m + 1
+        if n_win <= max_windows:
+            starts = range(n_win)
+        else:
+            starts = sorted({int(round(t * (n_win - 1) / (max_windows - 1))) for t in range(max_windows)})
+        for st in starts:
+            shorts.append(s)
+            windows.append(l[st : st + m])
+            seg.append(k)
+    if not shorts:
+        return result
+    lev = levenshtein_batch(shorts, windows).astype(np.float64)
+    mlen = np.fromiter((len(s) for s in shorts), dtype=np.float64, count=len(shorts))
+    sims = 1.0 - lev / np.maximum(mlen, 1.0)
+    seg = np.asarray(seg)
+    best = np.zeros(n, dtype=np.float64)
+    np.maximum.at(best, seg, sims)
+    scored = np.round(100.0 * best).astype(np.int64)
+    present = np.zeros(n, dtype=bool)
+    present[seg] = True
+    result[present] = scored[present]
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Char-n-gram hashed cosine (EMB_DISTANCE stand-in, deterministic)
+# ---------------------------------------------------------------------------
+
+_NGRAM_DIM = 1024
+_MIX = np.uint64(0x9E3779B97F4A7C15).astype(np.int64)
+
+
+def _ngram_count_matrix(strs, n: int = 3, dim: int = _NGRAM_DIM) -> np.ndarray:
+    """Dense (batch, dim) float32 char-n-gram count matrix, fully vectorized:
+    code-point windows are combined into int64 keys and hash-mixed into
+    ``dim`` buckets with ``np.add.at``.  Strings shorter than ``n`` use a
+    single whole-string key so they still compare equal to themselves."""
+    mat, lens = encode_batch(strs)
+    rows = len(strs)
+    counts = np.zeros((rows, dim), dtype=np.float32)
+    L = mat.shape[1]
+    if L >= n:
+        keys = np.zeros((rows, L - n + 1), dtype=np.int64)
+        for o in range(n):
+            keys = keys * np.int64(1114112) + mat[:, o : L - n + 1 + o].astype(np.int64)
+        valid = (np.arange(L - n + 1)[None, :] + n) <= lens[:, None]
+        h = ((keys * _MIX) >> np.int64(17)) % dim
+        r_idx, c_idx = np.nonzero(valid)
+        np.add.at(counts, (r_idx, h[r_idx, c_idx]), 1.0)
+    short = lens < n
+    if short.any():
+        mix = 0x9E3779B97F4A7C15
+        for k in np.nonzero(short)[0]:
+            key = 0
+            for ch in strs[k]:
+                key = key * 1114112 + ord(ch)
+            if lens[k] > 0:
+                # Same mix as the vectorized path, in wrapping 64-bit Python ints.
+                h = (((key * mix) % (1 << 64)) - (1 << 63)) % (1 << 64) - (1 << 63)
+                counts[k, (h >> 17) % dim] += 1.0
+    return counts
+
+
+def ngram_cosine_batch(xs, ys, n: int = 3) -> np.ndarray:
+    cx = _ngram_count_matrix(xs, n)
+    cy = _ngram_count_matrix(ys, n)
+    dots = np.einsum("ij,ij->i", cx, cy)
+    nx = np.sqrt(np.einsum("ij,ij->i", cx, cx))
+    ny = np.sqrt(np.einsum("ij,ij->i", cy, cy))
+    denom = nx * ny
+    out = np.where(denom > 0, dots / np.maximum(denom, 1e-12), 0.0)
+    return np.clip(out.astype(np.float64), 0.0, 1.0)
+
+
+def len_diff_batch(xs, ys) -> np.ndarray:
+    return np.abs(
+        np.fromiter((len(s) for s in xs), dtype=np.int64, count=len(xs))
+        - np.fromiter((len(s) for s in ys), dtype=np.int64, count=len(ys))
+    )

@@ -1,0 +1,116 @@
+"""Word 1-2-gram TF-IDF cosine — pure-numpy re-implementation.
+
+The reference computes a COSINE_SIM feature from a word-(1,2)-gram TF-IDF
+vectorizer fitted on the unique positive left names with ``max_df=0.9`` and
+``max_features=10000`` (build_features.py:243-270, train_model.py:493-495 in
+vietexob/name-matching).  This module implements the same published TF-IDF
+semantics from scratch:
+
+* tokens: lowercase, ``(?u)\\b\\w\\w+\\b`` (>=2 word chars);
+* terms: unigrams + space-joined bigrams;
+* document frequency pruning at ``max_df`` (fraction of corpus docs);
+* vocabulary truncated to the ``max_features`` most frequent terms
+  (by corpus-wide term count, ties broken lexicographically);
+* ``idf = ln((1 + N) / (1 + df)) + 1`` (smoothed), tf = raw in-doc count;
+* vectors L2-normalized; pair score = cosine (dot of normalized vectors).
+
+The fitted model is a plain dict — trivially broadcastable to executors and
+JSON-serializable for artifact checkpointing.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections import Counter
+
+import numpy as np
+
+_TOKEN_RE = re.compile(r"(?u)\b\w\w+\b")
+
+
+def _terms(text: str) -> list[str]:
+    toks = _TOKEN_RE.findall(text.lower())
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+class TfidfModel:
+    """Fitted TF-IDF vocabulary + idf weights with pairwise-cosine transform."""
+
+    def __init__(self, vocab: dict[str, int], idf: np.ndarray):
+        self.vocab = vocab
+        self.idf = np.asarray(idf, dtype=np.float64)
+
+    # -- fitting ------------------------------------------------------------
+
+    @classmethod
+    def fit(
+        cls,
+        corpus,
+        max_df: float = 0.9,
+        max_features: int = 10000,
+    ) -> "TfidfModel":
+        n_docs = 0
+        df: Counter = Counter()
+        tf_total: Counter = Counter()
+        for doc in corpus:
+            n_docs += 1
+            terms = _terms(doc)
+            tf_total.update(terms)
+            df.update(set(terms))
+        if n_docs == 0:
+            raise ValueError("empty corpus")
+        max_df_count = max_df * n_docs
+        kept = [t for t in df if df[t] <= max_df_count]
+        kept.sort(key=lambda t: (-tf_total[t], t))
+        kept = sorted(kept[:max_features])
+        vocab = {t: i for i, t in enumerate(kept)}
+        idf = np.array(
+            [np.log((1.0 + n_docs) / (1.0 + df[t])) + 1.0 for t in kept],
+            dtype=np.float64,
+        )
+        return cls(vocab, idf)
+
+    # -- transform ----------------------------------------------------------
+
+    def _doc_weights(self, text: str) -> dict[int, float]:
+        c = Counter(_terms(text))
+        w = {
+            self.vocab[t]: n * self.idf[self.vocab[t]]
+            for t, n in c.items()
+            if t in self.vocab
+        }
+        norm = np.sqrt(sum(v * v for v in w.values()))
+        if norm > 0:
+            w = {k: v / norm for k, v in w.items()}
+        return w
+
+    def cosine_pairs(self, xs, ys) -> np.ndarray:
+        """Pairwise cosine for aligned batches; sparse dict dot per pair
+        (names carry ~5 terms, so the dict intersection dominates)."""
+        out = np.zeros(len(xs), dtype=np.float64)
+        cache: dict[str, dict[int, float]] = {}
+
+        def weights(s: str) -> dict[int, float]:
+            w = cache.get(s)
+            if w is None:
+                w = self._doc_weights(s)
+                cache[s] = w
+            return w
+
+        for k, (x, y) in enumerate(zip(xs, ys)):
+            wx, wy = weights(x), weights(y)
+            if len(wx) > len(wy):
+                wx, wy = wy, wx
+            out[k] = sum(v * wy.get(i, 0.0) for i, v in wx.items())
+        return out
+
+    # -- (de)serialization ----------------------------------------------------
+
+    def to_json(self) -> str:
+        return json.dumps({"vocab": self.vocab, "idf": self.idf.tolist()})
+
+    @classmethod
+    def from_json(cls, payload: str) -> "TfidfModel":
+        obj = json.loads(payload)
+        return cls(obj["vocab"], np.asarray(obj["idf"], dtype=np.float64))

@@ -1,0 +1,200 @@
+"""Pure-numpy gradient-boosted decision trees (binary logloss).
+
+Replaces the reference's LGBMClassifier (train_model.py:155-237 in
+vietexob/name-matching) in an environment with no ML libraries.  Standard
+second-order boosting: per-node exact greedy splits on pre-sorted features
+with gradient/hessian prefix sums (the published XGBoost objective), shallow
+trees, shrinkage.  The fitted model is a set of flat arrays — cheap to
+broadcast to executors and to evaluate vectorized over Arrow batches.
+
+Training data here is ~45k rows x 8 features, so driver-side fitting in
+numpy is the right scale choice (same call the reference makes by fitting
+sklearn on a pandas frame); only *inference* is distributed.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-z))
+
+
+class _Tree:
+    """Flat-array binary tree: feature[i] < 0 marks a leaf with value[i]."""
+
+    __slots__ = ("feature", "threshold", "left", "right", "value")
+
+    def __init__(self):
+        self.feature: list[int] = []
+        self.threshold: list[float] = []
+        self.left: list[int] = []
+        self.right: list[int] = []
+        self.value: list[float] = []
+
+    def _new_node(self) -> int:
+        self.feature.append(-1)
+        self.threshold.append(0.0)
+        self.left.append(-1)
+        self.right.append(-1)
+        self.value.append(0.0)
+        return len(self.feature) - 1
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        feat = np.asarray(self.feature)
+        thr = np.asarray(self.threshold)
+        left = np.asarray(self.left)
+        right = np.asarray(self.right)
+        val = np.asarray(self.value)
+        node = np.zeros(len(X), dtype=np.int64)
+        # Depth-bounded vectorized descent.
+        for _ in range(64):
+            f = feat[node]
+            active = f >= 0
+            if not active.any():
+                break
+            fx = X[np.arange(len(X)), np.where(active, f, 0)]
+            go_left = fx <= thr[node]
+            nxt = np.where(go_left, left[node], right[node])
+            node = np.where(active, nxt, node)
+        return val[node]
+
+
+class GBMClassifier:
+    def __init__(
+        self,
+        n_estimators: int = 300,
+        learning_rate: float = 0.1,
+        max_depth: int = 4,
+        min_child_weight: float = 1.0,
+        reg_lambda: float = 1.0,
+        min_gain: float = 1e-6,
+    ):
+        self.n_estimators = n_estimators
+        self.learning_rate = learning_rate
+        self.max_depth = max_depth
+        self.min_child_weight = min_child_weight
+        self.reg_lambda = reg_lambda
+        self.min_gain = min_gain
+        self.base_score = 0.0
+        self.trees: list[_Tree] = []
+
+    # -- training -------------------------------------------------------------
+
+    def fit(self, X: np.ndarray, y: np.ndarray, verbose_every: int = 0) -> "GBMClassifier":
+        X = np.ascontiguousarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        p0 = np.clip(y.mean(), 1e-6, 1 - 1e-6)
+        self.base_score = float(np.log(p0 / (1 - p0)))
+        margin = np.full(len(y), self.base_score)
+        # Pre-sort every feature once; nodes reuse the global order.
+        order = np.argsort(X, axis=0, kind="stable")
+        self.trees = []
+        for t in range(self.n_estimators):
+            p = _sigmoid(margin)
+            g = p - y
+            h = np.maximum(p * (1.0 - p), 1e-12)
+            tree = _Tree()
+            self._build_node(tree, X, g, h, np.arange(len(y)), order, depth=0)
+            self.trees.append(tree)
+            margin += self.learning_rate * tree.predict(X)
+            if verbose_every and (t + 1) % verbose_every == 0:
+                loss = -np.mean(y * np.log(p + 1e-12) + (1 - y) * np.log(1 - p + 1e-12))
+                print(f"tree {t + 1}/{self.n_estimators} logloss={loss:.6f}")
+        return self
+
+    def _build_node(self, tree, X, g, h, idx, order, depth) -> int:
+        node = tree._new_node()
+        G, H = g[idx].sum(), h[idx].sum()
+        leaf_val = -G / (H + self.reg_lambda)
+        if depth >= self.max_depth or len(idx) < 2:
+            tree.value[node] = leaf_val
+            return node
+        best = None
+        parent_score = G * G / (H + self.reg_lambda)
+        in_node = np.zeros(X.shape[0], dtype=bool)
+        in_node[idx] = True
+        for f in range(X.shape[1]):
+            ordered = order[:, f][in_node[order[:, f]]]
+            vals = X[ordered, f]
+            gc = np.cumsum(g[ordered])
+            hc = np.cumsum(h[ordered])
+            # Splits only between distinct consecutive values.
+            cut = np.nonzero(vals[:-1] < vals[1:])[0]
+            if len(cut) == 0:
+                continue
+            Gl, Hl = gc[cut], hc[cut]
+            Gr, Hr = G - Gl, H - Hl
+            ok = (Hl >= self.min_child_weight) & (Hr >= self.min_child_weight)
+            if not ok.any():
+                continue
+            gain = (
+                Gl * Gl / (Hl + self.reg_lambda)
+                + Gr * Gr / (Hr + self.reg_lambda)
+                - parent_score
+            )
+            gain[~ok] = -np.inf
+            k = int(np.argmax(gain))
+            if gain[k] > self.min_gain and (best is None or gain[k] > best[0]):
+                thr = 0.5 * (vals[cut[k]] + vals[cut[k] + 1])
+                best = (float(gain[k]), f, thr)
+        if best is None:
+            tree.value[node] = leaf_val
+            return node
+        _, f, thr = best
+        go_left = X[idx, f] <= thr
+        li = self._build_node(tree, X, g, h, idx[go_left], order, depth + 1)
+        ri = self._build_node(tree, X, g, h, idx[~go_left], order, depth + 1)
+        tree.feature[node] = f
+        tree.threshold[node] = thr
+        tree.left[node] = li
+        tree.right[node] = ri
+        return node
+
+    # -- inference --------------------------------------------------------------
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        X = np.ascontiguousarray(X, dtype=np.float64)
+        margin = np.full(len(X), self.base_score)
+        for tree in self.trees:
+            margin += self.learning_rate * tree.predict(X)
+        return _sigmoid(margin)
+
+    # -- (de)serialization --------------------------------------------------------
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "base_score": self.base_score,
+                "learning_rate": self.learning_rate,
+                "trees": [
+                    {
+                        "feature": t.feature,
+                        "threshold": t.threshold,
+                        "left": t.left,
+                        "right": t.right,
+                        "value": t.value,
+                    }
+                    for t in self.trees
+                ],
+            }
+        )
+
+    @classmethod
+    def from_json(cls, payload: str) -> "GBMClassifier":
+        obj = json.loads(payload)
+        model = cls(learning_rate=obj["learning_rate"])
+        model.base_score = obj["base_score"]
+        model.trees = []
+        for td in obj["trees"]:
+            t = _Tree()
+            t.feature = td["feature"]
+            t.threshold = td["threshold"]
+            t.left = td["left"]
+            t.right = td["right"]
+            t.value = td["value"]
+            model.trees.append(t)
+        return model

@@ -1,0 +1,140 @@
+"""Driver-side training of the pairwise match classifier.
+
+Mirrors the reference training flow (train_model.py:383-584 in
+vietexob/name-matching): read labeled pos/neg pair CSVs -> dropna + dedup ->
+uppercase + normalize -> fit TF-IDF on the unique positive left names ->
+build the 8-feature frame -> fit the booster on a split, evaluate, then
+refit on the full frame -> persist artifacts.
+
+The labeled frame is ~45k rows x 8 features, so this is deliberately a
+driver-side job (the reference makes the same call with sklearn/pandas);
+only inference is distributed.  Artifacts are JSON → broadcastable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+
+from name_matching_spark.functions.features import FEATURE_COLS, build_features
+from name_matching_spark.functions.normalize import preprocess_name
+from name_matching_spark.functions.tfidf import TfidfModel
+from name_matching_spark.model.gbm import GBMClassifier
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+DATA_DIR = os.path.join(REPO_ROOT, "data")
+MODEL_DIR = os.path.join(REPO_ROOT, "models")
+POS_CSV = os.path.join(DATA_DIR, "name_matching_pos_pairs.csv")
+NEG_CSV = os.path.join(DATA_DIR, "name_matching_neg_pairs.csv")
+MODEL_PATH = os.path.join(MODEL_DIR, "match_gbm.json")
+TFIDF_PATH = os.path.join(MODEL_DIR, "tfidf.json")
+METRICS_PATH = os.path.join(MODEL_DIR, "train_metrics.json")
+
+DEFAULT_THRESHOLD = 0.85  # the reference's decision threshold everywhere
+
+
+def load_labeled_pairs(pos_csv: str = POS_CSV, neg_csv: str = NEG_CSV) -> pd.DataFrame:
+    """Labeled pair frame with normalized names: columns
+    (name_x, name_y, name_x_norm, name_y_norm, label)."""
+    pos = pd.read_csv(pos_csv).dropna()
+    neg = pd.read_csv(neg_csv).dropna()
+    pos = pos.drop_duplicates(subset=["NAME_X", "NAME_Y"])
+    neg = neg.drop_duplicates(subset=["NAME_X", "NAME_Y"])
+    pos["label"] = 1
+    neg["label"] = 0
+    df = pd.concat([pos, neg], ignore_index=True)
+    df = df.rename(columns={"NAME_X": "name_x", "NAME_Y": "name_y"})
+    df["name_x_norm"] = df["name_x"].map(preprocess_name)
+    df["name_y_norm"] = df["name_y"].map(preprocess_name)
+    df = df[(df["name_x_norm"].str.len() > 0) & (df["name_y_norm"].str.len() > 0)]
+    return df.reset_index(drop=True)
+
+
+def f1_score(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    tp = float(((y_pred == 1) & (y_true == 1)).sum())
+    fp = float(((y_pred == 1) & (y_true == 0)).sum())
+    fn = float(((y_pred == 0) & (y_true == 1)).sum())
+    if tp == 0:
+        return 0.0
+    prec = tp / (tp + fp)
+    rec = tp / (tp + fn)
+    return 2 * prec * rec / (prec + rec)
+
+
+def train(
+    pos_csv: str = POS_CSV,
+    neg_csv: str = NEG_CSV,
+    n_estimators: int = 300,
+    max_depth: int = 4,
+    learning_rate: float = 0.1,
+    test_frac: float = 0.2,
+    threshold: float = DEFAULT_THRESHOLD,
+    seed: int = 42,
+    verbose: bool = True,
+) -> dict:
+    t0 = time.time()
+    df = load_labeled_pairs(pos_csv, neg_csv)
+    # TF-IDF corpus = unique positive left names (reference train_model.py:493-495).
+    corpus = sorted(df.loc[df["label"] == 1, "name_x_norm"].unique())
+    tfidf = TfidfModel.fit(corpus)
+    X = build_features(df["name_x_norm"].tolist(), df["name_y_norm"].tolist(), tfidf)
+    y = df["label"].to_numpy(dtype=np.float64)
+
+    # Honest holdout evaluation, then (like the reference) refit on the full frame.
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(y))
+    n_test = int(len(y) * test_frac)
+    test_idx, train_idx = perm[:n_test], perm[n_test:]
+    holdout = GBMClassifier(
+        n_estimators=n_estimators, max_depth=max_depth, learning_rate=learning_rate
+    ).fit(X[train_idx], y[train_idx])
+    p_test = holdout.predict_proba(X[test_idx])
+    f1_holdout = f1_score(y[test_idx], (p_test >= threshold).astype(int))
+
+    model = GBMClassifier(
+        n_estimators=n_estimators, max_depth=max_depth, learning_rate=learning_rate
+    ).fit(X, y)
+    p_full = model.predict_proba(X)
+    f1_full = f1_score(y, (p_full >= threshold).astype(int))
+
+    os.makedirs(MODEL_DIR, exist_ok=True)
+    with open(MODEL_PATH, "w") as f:
+        f.write(model.to_json())
+    with open(TFIDF_PATH, "w") as f:
+        f.write(tfidf.to_json())
+    metrics = {
+        "rows": int(len(y)),
+        "positives": int(y.sum()),
+        "threshold": threshold,
+        "f1_holdout": round(f1_holdout, 6),
+        "f1_full": round(f1_full, 6),
+        "n_estimators": n_estimators,
+        "max_depth": max_depth,
+        "learning_rate": learning_rate,
+        "feature_cols": FEATURE_COLS,
+        "train_seconds": round(time.time() - t0, 2),
+    }
+    with open(METRICS_PATH, "w") as f:
+        json.dump(metrics, f, indent=2)
+    if verbose:
+        print(json.dumps(metrics, indent=2))
+    return metrics
+
+
+def load_artifacts(model_path: str = MODEL_PATH, tfidf_path: str = TFIDF_PATH):
+    """Load (model, tfidf); train on the fly if artifacts are absent."""
+    if not (os.path.exists(model_path) and os.path.exists(tfidf_path)):
+        train(verbose=False)
+    with open(model_path) as f:
+        model = GBMClassifier.from_json(f.read())
+    with open(tfidf_path) as f:
+        tfidf = TfidfModel.from_json(f.read())
+    return model, tfidf
+
+
+if __name__ == "__main__":
+    train()
