@@ -22,6 +22,13 @@ FEATURE_COLS = [
     "partial_ratio",
     "emb_distance",
     "len_diff",
+    # Features 9-11 extend the reference's 8: Jaro-Winkler is explicitly in
+    # the target feature set; Monge-Elkan(JW) and the designator-stripped
+    # core ratio supply the out-of-vocabulary generalization signal the
+    # reference obtained from its sentence-embedding feature.
+    "jaro_winkler",
+    "monge_elkan_jw",
+    "core_ratio",
 ]
 
 
@@ -40,5 +47,8 @@ def build_features(xs, ys, tfidf: TfidfModel) -> np.ndarray:
         sim.partial_ratio_batch(xs, ys).astype(np.float64),
         sim.ngram_cosine_batch(xs, ys),
         sim.len_diff_batch(xs, ys).astype(np.float64),
+        sim.jaro_winkler_batch(xs, ys),
+        sim.monge_elkan_jw_batch(xs, ys),
+        sim.core_ratio_batch(xs, ys),
     ]
     return np.column_stack(cols)

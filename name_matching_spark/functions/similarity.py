@@ -253,8 +253,111 @@ def ngram_cosine_batch(xs, ys, n: int = 3) -> np.ndarray:
     return np.clip(out.astype(np.float64), 0.0, 1.0)
 
 
+# ---------------------------------------------------------------------------
+# Jaro-Winkler (named in the target feature set alongside Levenshtein,
+# token-set Jaccard and n-gram cosine; robust to prefix-preserving aliases
+# like JOHN WICK ~ JONATHAN WICK where corpus-fitted features go blind)
+# ---------------------------------------------------------------------------
+
+
+def jaro_winkler(s1: str, s2: str, p: float = 0.1) -> float:
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - window)
+        hi = min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        prefix += 1
+    return jaro + prefix * p * (1.0 - jaro)
+
+
+def jaro_winkler_batch(xs, ys) -> np.ndarray:
+    return np.fromiter(
+        (jaro_winkler(x, y) for x, y in zip(xs, ys)), dtype=np.float64, count=len(xs)
+    )
+
+
 def len_diff_batch(xs, ys) -> np.ndarray:
     return np.abs(
         np.fromiter((len(s) for s in xs), dtype=np.int64, count=len(xs))
         - np.fromiter((len(s) for s in ys), dtype=np.int64, count=len(ys))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monge-Elkan token alignment with Jaro-Winkler inner similarity.
+# Separates alias transforms (initials "J" ~ "JOHN", diminutives
+# "WIN" ~ "WINSTON") from hard negatives (MARIANNE ~ MONIQUE): aliases keep
+# every token prefix-compatible with some token of the other name.
+# ---------------------------------------------------------------------------
+
+
+def monge_elkan_jw(x: str, y: str) -> float:
+    tx, ty = x.split(), y.split()
+    if not tx or not ty:
+        return 0.0
+
+    def one_way(a, b):
+        return sum(max(jaro_winkler(t, u) for u in b) for t in a) / len(a)
+
+    return 0.5 * (one_way(tx, ty) + one_way(ty, tx))
+
+
+def monge_elkan_jw_batch(xs, ys) -> np.ndarray:
+    return np.fromiter(
+        (monge_elkan_jw(x, y) for x, y in zip(xs, ys)), dtype=np.float64, count=len(xs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Core-name ratio: RATIO after stripping legal-entity designator tokens.
+# Public standard designator list; lets ORGA aliases like
+# "APPLE INC" ~ "APPLE CORPORATION" compare on their distinctive core.
+# ---------------------------------------------------------------------------
+
+LEGAL_SUFFIXES = frozenset(
+    """
+INC INCORPORATED CORP CORPORATION CO COMPANY LTD LIMITED LLC LLP LP PLC
+GMBH AG SA SAS SRL BV NV OY AB AS SPA PTE PTY KK PT TBK SDN BHD
+HOLDINGS HOLDING GROUP INTERNATIONAL ENTERPRISES ENTERPRISE
+""".split()
+)
+
+
+def strip_legal_suffixes(s: str) -> str:
+    tokens = [t for t in s.split() if t not in LEGAL_SUFFIXES]
+    return " ".join(tokens) if tokens else s
+
+
+def core_ratio_batch(xs, ys) -> np.ndarray:
+    return ratio_batch(
+        [strip_legal_suffixes(s) for s in xs], [strip_legal_suffixes(s) for s in ys]
     )

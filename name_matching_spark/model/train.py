@@ -84,6 +84,12 @@ def train(
     X = build_features(df["name_x_norm"].tolist(), df["name_y_norm"].tolist(), tfidf)
     y = df["label"].to_numpy(dtype=np.float64)
 
+    # NB on the cosine feature: the reference fits TF-IDF once on the
+    # training corpus; at resolution time this module refits on the corpus
+    # being resolved (distributed fit, operators/tfidf_fit.py), so the
+    # feature stays in-distribution for out-of-vocabulary names.  Training
+    # therefore uses the train-corpus fit exactly as the reference does.
+
     # Honest holdout evaluation, then (like the reference) refit on the full frame.
     rng = np.random.default_rng(seed)
     perm = rng.permutation(len(y))

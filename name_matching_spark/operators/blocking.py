@@ -1,0 +1,166 @@
+"""Candidate-pair generation: blocked, salted, capped self-join.
+
+Replaces the reference's O(n^2) driver-memory ``itertools.combinations``
+pairing (entity_resolution.py:175-193 in vietexob/name-matching) with a
+distributed blocked self-join.  A name lands in a block for each of:
+
+* ``tok:<token>``       — every normalized token of length >= 2;
+* ``sx:<soundex>``      — Spark-native ``F.soundex`` per token (JVM-side);
+* ``mp:<metaphone>``    — primary + secondary simplified double-metaphone
+  per token (Arrow-batched pandas UDF);
+* ``lsh:<band>:<hash>`` — MinHash-LSH band keys over char-3-gram shingles,
+  built entirely from native expressions (``xxhash64`` + affine rehashing +
+  ``array_min``), so the whole LSH path stays in whole-stage codegen.
+
+Scale levers (explicit per the north rule):
+
+* **block purge**: blocks larger than ``max_block`` names are dropped before
+  pairing (bounding any block at max_block^2/2 pairs) and surfaced in the
+  metrics; hot tokens ("LLC", "INC") otherwise create quadratic blow-ups.
+* **AQE skew-join** splits residual skewed partitions at runtime (enabled in
+  the session factory).
+* Pair canonicalization (``name_x < name_y``) + hash-aggregate dedup keeps
+  each candidate exactly once however many blocks it appears in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from name_matching_spark.functions.phonetic import double_metaphone_udf
+
+# Affine universal-hash constants for the MinHash family (fixed seed).
+# Values are < 2^31 so v*a+b stays well inside int64 — ANSI-mode safe
+# (Spark 4 raises on long overflow instead of wrapping).
+_MH_PRIME = (1 << 31) - 1  # Mersenne prime 2^31-1
+_MINHASH_A = [
+    0x5DEECE66, 0x2545F491, 0x27D4EB2F, 0x165667B1, 0x1CE4E5B9, 0x133111EB,
+    0x4F6CDD1D, 0x7F4A7C15, 0x6659FD93, 0x1A85EC53, 0x07BB0143, 0x3F84D5B5,
+    0x2AAB35C6, 0x61C88647, 0x735A2D97, 0x52DCE729,
+]
+_MINHASH_B = [
+    0x0B, 0x3A8F05C5, 0x2D358DCC, 0x613D1E2B, 0x1B873593, 0x5BD1E995,
+    0x19660D, 0x3C6EF35F, 0x27220A95, 0x16A88000, 0x2C9277B5, 0x297A2D39,
+    0x85EBCA6B, 0x6C62272E, 0x41C64E6D, 0x9E3779B1 % _MH_PRIME,
+]
+
+
+def char_shingles(col: Column, n: int = 3) -> Column:
+    """array<string> of char n-grams; whole string when shorter than n."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1))),
+        lambda i: col.substr(i, F.lit(n)),
+    )
+
+
+def minhash_signature(col: Column, num_hashes: int = 16) -> list[Column]:
+    """MinHash signature columns over char-3-gram shingles, all native.
+
+    h_k(s) = (a_k * x + b_k) mod p with x = xxhash64(shingle) mod p and
+    p = 2^31-1: the classic universal family, overflow-free in int64.
+    """
+    base = F.transform(char_shingles(col), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
+    sig = []
+    for k in range(num_hashes):
+        a = F.lit(_MINHASH_A[k % len(_MINHASH_A)] % _MH_PRIME)
+        b = F.lit(_MINHASH_B[k % len(_MINHASH_B)] % _MH_PRIME)
+        sig.append(
+            F.array_min(F.transform(base, lambda v: F.pmod(v * a + b, F.lit(_MH_PRIME))))
+        )
+    return sig
+
+
+def lsh_band_keys(col: Column, bands: int = 8, rows_per_band: int = 2) -> Column:
+    """array<string> of LSH band keys for the name column."""
+    sig = minhash_signature(col, bands * rows_per_band)
+    keys = []
+    for b in range(bands):
+        band = sig[b * rows_per_band : (b + 1) * rows_per_band]
+        keys.append(F.concat_ws(":", F.lit(f"lsh{b}"), F.hash(*band).cast("string")))
+    return F.array(*keys)
+
+
+def blocking_keys(
+    names: DataFrame,
+    name_col: str = "name",
+    min_token_len: int = 2,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    use_metaphone: bool = True,
+) -> DataFrame:
+    """(key, name) pairs: one row per (blocking key, name) membership."""
+    c = F.col(name_col)
+    tokens = names.select(
+        c.alias("name"), F.explode(F.split(c, " ")).alias("token")
+    ).where(F.length("token") >= min_token_len)
+
+    tok_keys = tokens.select(F.concat(F.lit("tok:"), F.col("token")).alias("key"), "name")
+    sx_keys = tokens.select(
+        F.concat(F.lit("sx:"), F.soundex(F.col("token"))).alias("key"), "name"
+    )
+    key_union = tok_keys.unionByName(sx_keys)
+
+    if use_metaphone:
+        mp = tokens.select(
+            F.explode(double_metaphone_udf()(F.col("token"))).alias("code"), "name"
+        ).where(F.length("code") > 0)
+        key_union = key_union.unionByName(
+            mp.select(F.concat(F.lit("mp:"), F.col("code")).alias("key"), "name")
+        )
+
+    lsh = (
+        names.withColumn("_lsh", lsh_band_keys(c, bands=bands, rows_per_band=rows_per_band))
+        .select(F.explode("_lsh").alias("key"), c.alias("name"))
+        .select("key", "name")
+    )
+    return key_union.unionByName(lsh).distinct()
+
+
+def candidate_pairs(
+    names: DataFrame,
+    name_col: str = "name",
+    max_block: int = 100,
+    min_token_len: int = 2,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    use_metaphone: bool = True,
+) -> DataFrame:
+    """Distinct candidate pairs (name_x < name_y) from the blocked self-join.
+
+    The key->size join and the self-join share the ``key`` partitioning, so
+    Catalyst reuses the exchange; AQE handles residual skew at runtime.
+    """
+    keys = blocking_keys(
+        names,
+        name_col=name_col,
+        min_token_len=min_token_len,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        use_metaphone=use_metaphone,
+    )
+    sizes = keys.groupBy("key").agg(F.count("*").alias("block_size"))
+    keys = keys.join(
+        sizes.where((F.col("block_size") >= 2) & (F.col("block_size") <= max_block)),
+        "key",
+    ).select("key", "name")
+    a, b = keys.alias("a"), keys.alias("b")
+    pairs = (
+        a.join(b, "key")
+        .where(F.col("a.name") < F.col("b.name"))
+        .select(F.col("a.name").alias("name_x"), F.col("b.name").alias("name_y"))
+        .dropDuplicates(["name_x", "name_y"])
+    )
+    return pairs
+
+
+def block_stats(
+    names: DataFrame, name_col: str = "name", max_block: int = 100, **kw
+) -> DataFrame:
+    """Per-key block sizes with a purge flag — the lineage/metrics side
+    output for the blocking stage."""
+    keys = blocking_keys(names, name_col=name_col, **kw)
+    return keys.groupBy("key").agg(
+        F.count("*").alias("block_size"),
+        (F.count("*") > max_block).alias("purged"),
+    )
