@@ -1,38 +1,819 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator from SURVEY.md §2 (plus the corpus-scale dedup / ANN /
+text-analysis extras) is exposed as a ``queries()`` entry with a matching
+DuckDB ``oracle_sql()`` where the semantics are SQL-expressible.  Keys are
+prefixed with the SURVEY operator ids (s=scan, p=projection/filter, j=join,
+a=aggregate, o=sort, u=set-op, f=feature, m=model/cluster, d=dedup,
+ann=similarity-search, t=text-analysis, mm=multimodal, er=pipeline).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship — mini entity resolution over the part-name table
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Resolve the sf0.001 part names into entities: blocking -> Arrow-UDF
+    scoring -> connected components -> canonical entity table."""
+    from name_matching_spark.functions.normalize import normalize_text_col
+    from name_matching_spark.model.train import load_artifacts
+    from name_matching_spark.operators.blocking import candidate_pairs
+    from name_matching_spark.operators.clustering import connected_components
+    from name_matching_spark.operators.resolve import entity_table
+    from name_matching_spark.operators.scoring import score_pairs
+
+    sf_dir = "/root/testdata/sf0.001"
+    model, tfidf = load_artifacts()
+    part = _t(spark, sf_dir, "part")
+    names = (
+        part.select(normalize_text_col(F.col("p_name"), upper=True).alias("name"))
+        .where(F.length("name") > 0)
+        .distinct()
+    )
+    pairs = candidate_pairs(names, max_block=100)
+    scored = score_pairs(pairs, model.to_json(), tfidf.to_json(), threshold=0.85)
+    comps = connected_components(
+        scored.where(F.col("prediction") == 1).select(
+            F.col("name_x").alias("src"), F.col("name_y").alias("dst")
+        )
+    )
+    return entity_table(comps, names).orderBy("name")
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from name_matching_spark.functions.normalize import normalize_text_col
+    from name_matching_spark.operators import dedup as dd
+    from name_matching_spark.operators import text_analysis as ta
+    from name_matching_spark.operators.clustering import connected_components
+    from name_matching_spark.operators.similarity_search import (
+        brute_force_topk,
+        lsh_topk,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def s1_scan_dedup(spark, sf):
+        c = _t(spark, sf, "customer").na.drop(subset=["c_name"])
+        return (
+            c.dropDuplicates(["c_name"])
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def p1_normalize_text(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            F.col("doc_id").alias("key"),
+            normalize_text_col(F.col("text"), upper=True).alias("norm"),
+        )
+
+    def p2_upper(spark, sf):
+        return _t(spark, sf, "part").select(
+            F.col("p_partkey").alias("key"), F.upper("p_name").alias("uname")
+        )
+
+    def p3_numeric_extract(spark, sf):
+        e = _t(spark, sf, "events")
+        cleaned = F.regexp_replace(F.col("props"), r"(?U)[^\w\s]", " ")
+        toks = F.filter(F.split(cleaned, r"(?U)\s+"), lambda t: t != F.lit(""))
+        nums = F.filter(toks, lambda t: t.rlike(r"^[0-9]+$"))
+        return e.select(
+            F.col("event_id").alias("key"), F.array_join(nums, " ").alias("numerics")
+        )
+
+    def p4_validate_names(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.where(F.length(F.trim("text")) > 0).select(
+            F.col("doc_id").alias("key"), F.length("text").alias("n_chars2")
+        )
+
+    def p7_partition_filter(spark, sf):
+        return (
+            _t(spark, sf, "events")
+            .where(F.col("event_type") == "click")
+            .select("event_id", "user_id")
+        )
+
+    def j1_block_pairs(spark, sf):
+        d = _t(spark, sf, "documents").select(
+            "doc_id", F.split("text", " ")[0].alias("key")
+        )
+        sizes = d.groupBy("key").agg(F.count("*").alias("bs"))
+        keyed = d.join(
+            sizes.where((F.col("bs") >= 2) & (F.col("bs") <= 100)), "key"
+        )
+        a, b = keyed.alias("a"), keyed.alias("b")
+        return (
+            a.join(b, "key")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy("key")
+            .agg(F.count("*").alias("pair_count"))
+        )
+
+    def j2_topn_per_key(spark, sf):
+        c = _t(spark, sf, "customer")
+        w = Window.partitionBy("c_nationkey").orderBy(
+            F.desc("c_acctbal"), F.asc("c_custkey")
+        )
+        return (
+            c.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("c_nationkey", "c_custkey", "rnk")
+        )
+
+    def j3_entity_assign(spark, sf):
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer").select("c_custkey", "c_name")
+        return o.join(c, o["o_custkey"] == c["c_custkey"], "left").select(
+            "o_orderkey",
+            F.coalesce(
+                F.col("c_name"), F.concat(F.lit("UNKNOWN#"), F.col("o_custkey"))
+            ).alias("assigned_name"),
+        )
+
+    def j4_broadcast_lookup(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        p = F.broadcast(_t(spark, sf, "part").select("p_partkey", "p_brand"))
+        return (
+            li.join(p, li["l_partkey"] == p["p_partkey"])
+            .groupBy("p_brand")
+            .agg(
+                F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+                F.count("*").alias("n"),
+            )
+        )
+
+    def a1_distinct_union(spark, sf):
+        o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("key"))
+        c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("key"))
+        return o.union(c).distinct()
+
+    def a2_pair_dedup(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.dropDuplicates(["l_orderkey", "l_partkey"])
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def a3_stage_counts(spark, sf):
+        return (
+            _t(spark, sf, "events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("rows"), F.countDistinct("user_id").alias("users"))
+        )
+
+    def a4_max_by_longest(spark, sf):
+        p = _t(spark, sf, "part")
+        w = Window.partitionBy("p_brand").orderBy(
+            F.desc(F.length("p_name")), F.desc("p_name")
+        )
+        return (
+            p.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") == 1)
+            .select("p_brand", F.col("p_name").alias("longest_name"))
+        )
+
+    def a5_max_id(spark, sf):
+        return _t(spark, sf, "orders").agg(
+            (F.max("o_orderkey") + 1).alias("next_id")
+        )
+
+    def a6_tfidf_vocab(spark, sf):
+        d = _t(spark, sf, "documents").select(F.lower("text").alias("doc")).distinct()
+        toks = F.filter(F.split(F.col("doc"), " "), lambda t: F.length(t) >= 2)
+        n_tok = F.size(toks)
+        bigrams = F.zip_with(
+            F.slice(toks, 1, F.greatest(n_tok - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n_tok - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        terms = d.select(F.concat(toks, bigrams).alias("terms"))
+        n_docs = terms.count()
+        tf = terms.select(F.explode("terms").alias("term")).groupBy("term").agg(
+            F.count("*").alias("tf")
+        )
+        df_ = terms.select(
+            F.explode(F.array_distinct(F.col("terms"))).alias("term")
+        ).groupBy("term").agg(F.count("*").alias("df"))
+        return (
+            tf.join(df_, "term")
+            .where(F.col("df") <= 0.9 * n_docs)
+            .orderBy(F.desc("tf"), F.asc("term"))
+            .limit(20)
+        )
+
+    def a7_turn_collapse(spark, sf):
+        e = _t(spark, sf, "events")
+        return e.groupBy("user_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "props"))),
+                    lambda s: s["props"],
+                ),
+                " ",
+            ).alias("collapsed"),
+            F.count("*").alias("n_turns"),
+        )
+
+    def o1_token_sort(spark, sf):
+        return _t(spark, sf, "part").select(
+            F.col("p_partkey").alias("key"),
+            F.array_join(F.array_sort(F.split("p_name", " ")), " ").alias("sorted_name"),
+        )
+
+    def o2_topk(spark, sf):
+        return (
+            _t(spark, sf, "orders")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(10)
+            .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        )
+
+    def u1_union_all(spark, sf):
+        c = _t(spark, sf, "customer").select(
+            F.col("c_name").alias("name"), F.lit("customer").alias("src")
+        )
+        s = _t(spark, sf, "supplier").select(
+            F.col("s_name").alias("name"), F.lit("supplier").alias("src")
+        )
+        return c.unionByName(s).groupBy("src").agg(F.count("*").alias("n"))
+
+    def u2_token_intersect(spark, sf):
+        d = _t(spark, sf, "documents").select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+        )
+        a = d.alias("a")
+        b = d.select(
+            (F.col("doc_id") - 1).alias("doc_id"), F.col("toks").alias("toks_b")
+        ).alias("b")
+        return (
+            a.join(b, "doc_id")
+            .select(
+                F.col("doc_id").alias("key_x"),
+                F.size(F.array_intersect("toks", "toks_b")).alias("common_tokens"),
+            )
+        )
+
+    def f1_jaccard(spark, sf):
+        d = _t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("toks"))
+        a = d.alias("a")
+        b = d.select(
+            (F.col("doc_id") - 1).alias("doc_id"), F.col("toks").alias("toks_b")
+        )
+        j = a.join(b, "doc_id")
+        common = F.size(F.array_intersect("toks", "toks_b"))
+        denom = F.size("toks") + F.size("toks_b") - common
+        return j.select(
+            F.col("doc_id").alias("key_x"),
+            F.when(common > 0, F.round(common / denom, 6)).otherwise(F.lit(0.0)).alias(
+                "jaccard_sim"
+            ),
+        )
+
+    def f3_ratio_levenshtein(spark, sf):
+        n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+        a, b = n.alias("a"), n.alias("b")
+        j = a.crossJoin(b).where(F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        lev = F.levenshtein(F.col("a.n_name"), F.col("b.n_name"))
+        denom = F.greatest(
+            F.length(F.col("a.n_name")), F.length(F.col("b.n_name")), F.lit(1)
+        )
+        return j.select(
+            F.col("a.n_nationkey").alias("key_x"),
+            F.col("b.n_nationkey").alias("key_y"),
+            F.round(F.lit(1.0) - lev / denom, 6).alias("ratio"),
+            F.abs(
+                F.length(F.col("a.n_name")) - F.length(F.col("b.n_name"))
+            ).alias("len_diff"),
+        )
+
+    def m3_threshold_decision(spark, sf):
+        e = _t(spark, sf, "events")
+        prob = F.round(F.col("value") / 100.0, 4)
+        return e.select(
+            F.col("event_id").alias("key"),
+            prob.alias("probability"),
+            F.when(prob >= 0.5, F.lit(1)).otherwise(F.lit(0)).alias("prediction"),
+        )
+
+    def m5_edges_canonical(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.select(
+                F.least("l_partkey", "l_suppkey").alias("src"),
+                F.greatest("l_partkey", "l_suppkey").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+
+    def m6_connected_components(spark, sf):
+        li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") < 200)
+        edges = li.select(
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        return connected_components(edges).select(
+            F.col("name").alias("node"), F.col("component").alias("comp")
+        )
+
+    def d1_exact_dedup(spark, sf):
+        return dd.exact_dedup(_t(spark, sf, "documents")).select(
+            F.col("doc_id").alias("key"), "dup_count"
+        )
+
+    def d2_minhash_lsh_pairs(spark, sf):
+        return dd.minhash_lsh_pairs(
+            _t(spark, sf, "documents"), bands=4, rows_per_band=4
+        )
+
+    def d2b_minhash_signature(spark, sf):
+        sigs = dd.minhash_signatures(_t(spark, sf, "documents"), num_hashes=4)
+        return sigs.select(
+            "key", *[F.col("sig")[i].alias(f"h{i}") for i in range(4)]
+        )
+
+    def d3_simhash(spark, sf):
+        return dd.simhash(_t(spark, sf, "documents"), bits=16)
+
+    def d4_ngram_jaccard(spark, sf):
+        d = _t(spark, sf, "documents")
+        pairs = d.select(F.col("doc_id").alias("key_x")).withColumn(
+            "key_y", F.col("key_x") + 1
+        ).join(d.select(F.col("doc_id").alias("key_y")), "key_y")
+        return dd.ngram_jaccard_pairs(pairs, d, n=3)
+
+    def d5_embedding_cosine(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        pairs = e.select(F.col("vec_id").alias("key_x")).withColumn(
+            "key_y", F.col("key_x") + 1
+        ).join(e.select(F.col("vec_id").alias("key_y")), "key_y")
+        out = dd.embedding_cosine_pairs(e, pairs)
+        return out.select("key_x", "key_y", F.round("cosine", 4).alias("cosine"))
+
+    def ann1_bruteforce_topk(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        q = e.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = brute_force_topk(e, q, k=5)
+        return out.select(
+            "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
+        )
+
+    def ann2_lsh_topk(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        q = e.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return lsh_topk(e, q, k=5, dim=64, bits=4, tables=4)
+
+    def t1_token_count(spark, sf):
+        return ta.token_count(_t(spark, sf, "documents")).select(
+            "key", "n_tokens", "n_chars"
+        )
+
+    def t2_quality_score(spark, sf):
+        return ta.quality_score(_t(spark, sf, "documents"))
+
+    def t3_lang_id(spark, sf):
+        return ta.lang_id(_t(spark, sf, "documents"))
+
+    def t4_fingerprint(spark, sf):
+        return ta.fingerprint(_t(spark, sf, "documents"))
+
+    def mm1_multimodal_features(spark, sf):
+        from name_matching_spark.operators.multimodal import (
+            extract_features,
+            make_media_fixture,
+        )
+
+        media = make_media_fixture(spark, n=32)
+        out = extract_features(media)
+        return out.select("media_id", "kind", "n_bytes", F.size("feature").alias("dim"))
+
+    def er_score_pairs(spark, sf):
+        from name_matching_spark.functions.normalize import normalize_text_col
+        from name_matching_spark.model.train import load_artifacts
+        from name_matching_spark.operators.scoring import score_pairs
+
+        model, tfidf = load_artifacts()
+        p = (
+            _t(spark, sf, "part")
+            .select(normalize_text_col(F.col("p_name"), upper=True).alias("name"))
+            .distinct()
+        )
+        a, b = p.alias("a"), p.alias("b")
+        pairs = (
+            a.crossJoin(b)
+            .where(F.col("a.name") < F.col("b.name"))
+            .select(F.col("a.name").alias("name_x"), F.col("b.name").alias("name_y"))
+            .limit(2000)
+        )
+        return score_pairs(
+            pairs, model.to_json(), tfidf.to_json(), threshold=0.85
+        ).select("name_x", "name_y", "probability", "prediction")
+
+    return {
+        "s1_scan_dedup": s1_scan_dedup,
+        "p1_normalize_text": p1_normalize_text,
+        "p2_upper": p2_upper,
+        "p3_numeric_extract": p3_numeric_extract,
+        "p4_validate_names": p4_validate_names,
+        "p7_partition_filter": p7_partition_filter,
+        "j1_block_pairs": j1_block_pairs,
+        "j2_topn_per_key": j2_topn_per_key,
+        "j3_entity_assign": j3_entity_assign,
+        "j4_broadcast_lookup": j4_broadcast_lookup,
+        "a1_distinct_union": a1_distinct_union,
+        "a2_pair_dedup": a2_pair_dedup,
+        "a3_stage_counts": a3_stage_counts,
+        "a4_max_by_longest": a4_max_by_longest,
+        "a5_max_id": a5_max_id,
+        "a6_tfidf_vocab": a6_tfidf_vocab,
+        "a7_turn_collapse": a7_turn_collapse,
+        "o1_token_sort": o1_token_sort,
+        "o2_topk": o2_topk,
+        "u1_union_all": u1_union_all,
+        "u2_token_intersect": u2_token_intersect,
+        "f1_jaccard": f1_jaccard,
+        "f3_ratio_levenshtein": f3_ratio_levenshtein,
+        "m3_threshold_decision": m3_threshold_decision,
+        "m5_edges_canonical": m5_edges_canonical,
+        "m6_connected_components": m6_connected_components,
+        "d1_exact_dedup": d1_exact_dedup,
+        "d2_minhash_lsh_pairs": d2_minhash_lsh_pairs,
+        "d2b_minhash_signature": d2b_minhash_signature,
+        "d3_simhash": d3_simhash,
+        "d4_ngram_jaccard": d4_ngram_jaccard,
+        "d5_embedding_cosine": d5_embedding_cosine,
+        "ann1_bruteforce_topk": ann1_bruteforce_topk,
+        "ann2_lsh_topk": ann2_lsh_topk,
+        "t1_token_count": t1_token_count,
+        "t2_quality_score": t2_quality_score,
+        "t3_lang_id": t3_lang_id,
+        "t4_fingerprint": t4_fingerprint,
+        "mm1_multimodal_features": mm1_multimodal_features,
+        "er_score_pairs": er_score_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB equivalents.  Omitted (rows-only check): ann2_lsh_topk
+    (approximate by design), mm1_multimodal_features (binary fixture),
+    er_score_pairs (GBM not SQL-expressible)."""
+    md5_60 = "cast(('0x'||substr(md5({x}),1,15)) as bigint)"
+    md5_28 = "cast(('0x'||substr(md5({x}),1,7)) as bigint)"
+    return {
+        "s1_scan_dedup": """
+            with d as (
+              select distinct on (c_name) * from customer where c_name is not null
+            )
+            select c_mktsegment, count(*) as n from d group by c_mktsegment
+        """,
+        "p1_normalize_text": r"""
+            select doc_id as key,
+                   array_to_string(
+                     list_filter(
+                       string_split_regex(
+                         regexp_replace(
+                           regexp_replace(upper(text), '[/(){}\[\]\|@,;]', ' ', 'g'),
+                           '[^\w\s]', ' ', 'g'),
+                         '\s+'),
+                       t -> t <> '' and not regexp_matches(t, '^[0-9]+$')),
+                     ' ') as norm
+            from documents
+        """,
+        "p2_upper": "select p_partkey as key, upper(p_name) as uname from part",
+        "p3_numeric_extract": r"""
+            select event_id as key,
+                   array_to_string(
+                     list_filter(
+                       string_split_regex(regexp_replace(props, '[^\w\s]', ' ', 'g'), '\s+'),
+                       t -> t <> '' and regexp_matches(t, '^[0-9]+$')),
+                     ' ') as numerics
+            from events
+        """,
+        "p4_validate_names": """
+            select doc_id as key, length(text) as n_chars2
+            from documents where length(trim(text)) > 0
+        """,
+        "p7_partition_filter": """
+            select event_id, user_id from events where event_type = 'click'
+        """,
+        "j1_block_pairs": """
+            with d as (select doc_id, string_split(text, ' ')[1] as key from documents),
+            sized as (
+              select d.* from d
+              join (select key, count(*) bs from d group by key having bs between 2 and 100) s
+              using (key))
+            select a.key, count(*) as pair_count
+            from sized a join sized b on a.key = b.key and a.doc_id < b.doc_id
+            group by a.key
+        """,
+        "j2_topn_per_key": """
+            select c_nationkey, c_custkey, rnk from (
+              select c_nationkey, c_custkey,
+                     row_number() over (partition by c_nationkey
+                                        order by c_acctbal desc, c_custkey asc) as rnk
+              from customer) where rnk <= 3
+        """,
+        "j3_entity_assign": """
+            select o_orderkey,
+                   coalesce(c_name, 'UNKNOWN#' || o_custkey) as assigned_name
+            from orders left join customer on o_custkey = c_custkey
+        """,
+        "j4_broadcast_lookup": """
+            select p_brand, round(sum(l_extendedprice), 2) as revenue, count(*) as n
+            from lineitem join part on l_partkey = p_partkey
+            group by p_brand
+        """,
+        "a1_distinct_union": """
+            select distinct key from (
+              select o_custkey as key from orders
+              union all select c_custkey from customer)
+        """,
+        "a2_pair_dedup": """
+            with d as (select distinct on (l_orderkey, l_partkey) * from lineitem)
+            select l_returnflag, count(*) as n from d group by l_returnflag
+        """,
+        "a3_stage_counts": """
+            select event_type, count(*) as rows, count(distinct user_id) as users
+            from events group by event_type
+        """,
+        "a4_max_by_longest": """
+            select p_brand, p_name as longest_name from (
+              select p_brand, p_name,
+                     row_number() over (partition by p_brand
+                                        order by length(p_name) desc, p_name desc) rnk
+              from part) where rnk = 1
+        """,
+        "a5_max_id": "select max(o_orderkey) + 1 as next_id from orders",
+        "a6_tfidf_vocab": """
+            with docs as (select distinct lower(text) as doc from documents),
+            toks as (
+              select doc, list_filter(string_split(doc, ' '), t -> length(t) >= 2) as l
+              from docs),
+            terms as (
+              select doc, unnest(l) as term from toks
+              union all
+              select doc, unnest(
+                list_transform(range(1, greatest(len(l), 1)),
+                               i -> l[i] || ' ' || l[i+1])) as term
+              from toks where len(l) >= 2),
+            tf as (select term, count(*) as tf from terms group by term),
+            df as (select term, count(distinct doc) as df from terms group by term)
+            select term, tf, df from tf join df using (term)
+            where df <= 0.9 * (select count(*) from docs)
+            order by tf desc, term asc limit 20
+        """,
+        "a7_turn_collapse": """
+            select user_id,
+                   string_agg(props, ' ' order by ts, event_id) as collapsed,
+                   count(*) as n_turns
+            from events group by user_id
+        """,
+        "o1_token_sort": """
+            select p_partkey as key,
+                   array_to_string(list_sort(string_split(p_name, ' ')), ' ') as sorted_name
+            from part
+        """,
+        "o2_topk": """
+            select o_orderkey, round(o_totalprice, 2) as price
+            from orders order by o_totalprice desc, o_orderkey asc limit 10
+        """,
+        "u1_union_all": """
+            select src, count(*) as n from (
+              select c_name as name, 'customer' as src from customer
+              union all select s_name, 'supplier' from supplier)
+            group by src
+        """,
+        "u2_token_intersect": """
+            with d as (select doc_id, list_distinct(string_split(text,' ')) as toks from documents)
+            select a.doc_id as key_x,
+                   len(list_intersect(a.toks, b.toks)) as common_tokens
+            from d a join d b on b.doc_id = a.doc_id + 1
+        """,
+        "f1_jaccard": """
+            with d as (select doc_id, string_split(text,' ') as toks from documents)
+            select a.doc_id as key_x,
+                   case when len(list_intersect(a.toks, b.toks)) > 0
+                        then round(len(list_intersect(a.toks, b.toks))::double
+                             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6)
+                        else 0.0 end as jaccard_sim
+            from d a join d b on b.doc_id = a.doc_id + 1
+        """,
+        "f3_ratio_levenshtein": """
+            select a.n_nationkey as key_x, b.n_nationkey as key_y,
+                   round(1.0 - levenshtein(a.n_name, b.n_name)::double
+                         / greatest(length(a.n_name), length(b.n_name), 1), 6) as ratio,
+                   abs(length(a.n_name) - length(b.n_name)) as len_diff
+            from nation a join nation b on a.n_nationkey < b.n_nationkey
+        """,
+        "m3_threshold_decision": """
+            select event_id as key, round(value / 100.0, 4) as probability,
+                   case when round(value / 100.0, 4) >= 0.5 then 1 else 0 end as prediction
+            from events
+        """,
+        "m5_edges_canonical": """
+            select distinct least(l_partkey, l_suppkey) as src,
+                            greatest(l_partkey, l_suppkey) as dst
+            from lineitem where l_partkey <> l_suppkey
+        """,
+        "m6_connected_components": """
+            with recursive base as (
+              select 'p' || l_partkey as src, 's' || l_suppkey as dst
+              from lineitem where l_orderkey < 200),
+            edges as (select distinct src, dst from base),
+            bidir as (select src a, dst b from edges union select dst, src from edges),
+            nodes as (select distinct a as n from bidir),
+            cc(n, lbl) as (
+              select n, n as lbl from nodes
+              union
+              select e.b as n, cc.lbl from bidir e join cc on cc.n = e.a
+              where cc.lbl < e.b
+            )
+            select n as node, min(lbl) as comp from cc group by n
+        """,
+        "d1_exact_dedup": """
+            select min(doc_id) as key, count(*) as dup_count
+            from documents group by text
+        """,
+        "d2_minhash_lsh_pairs": f"""
+            with toks as (select doc_id, string_split(text, ' ') as l from documents),
+            sh as (
+              select doc_id,
+                     case when len(l) >= 3 then
+                       list_distinct(list_transform(range(0, len(l) - 2),
+                         i -> array_to_string(l[i+1:i+3], ' ')))
+                     else [array_to_string(l, ' ')] end as shingles
+              from toks),
+            base as (select doc_id, list_transform(shingles, s -> {md5_28.format(x='s')}) as hs from sh),
+            sig as (
+              select doc_id,
+                     list_transform(range(0, 16),
+                       k -> list_min(list_transform(hs,
+                              v -> (v * (2*k + 3) + (7*k + 1)) % 2147483647))) as sig
+              from base),
+            bands as (
+              select doc_id,
+                     b.band as band,
+                     b.band::varchar || '_' ||
+                       sig[b.band*4 + 1]::varchar || '_' || sig[b.band*4 + 2]::varchar || '_' ||
+                       sig[b.band*4 + 3]::varchar || '_' || sig[b.band*4 + 4]::varchar as bucket
+              from sig cross join (select unnest(range(0, 4)) as band) b)
+            select distinct a.doc_id as key_x, c.doc_id as key_y
+            from bands a join bands c on a.bucket = c.bucket and a.doc_id < c.doc_id
+        """,
+        "d2b_minhash_signature": f"""
+            with toks as (select doc_id, string_split(text, ' ') as l from documents),
+            sh as (
+              select doc_id,
+                     case when len(l) >= 3 then
+                       list_distinct(list_transform(range(0, len(l) - 2),
+                         i -> array_to_string(l[i+1:i+3], ' ')))
+                     else [array_to_string(l, ' ')] end as shingles
+              from toks),
+            base as (select doc_id, list_transform(shingles, s -> {md5_28.format(x='s')}) as hs from sh)
+            select doc_id as key,
+                   list_min(list_transform(hs, v -> (v * 3 + 1) % 2147483647)) as h0,
+                   list_min(list_transform(hs, v -> (v * 5 + 8) % 2147483647)) as h1,
+                   list_min(list_transform(hs, v -> (v * 7 + 15) % 2147483647)) as h2,
+                   list_min(list_transform(hs, v -> (v * 9 + 22) % 2147483647)) as h3
+            from base
+        """,
+        "d3_simhash": f"""
+            with toks as (
+              select doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) as tok
+              from documents),
+            h as (select doc_id, {md5_60.format(x='tok')} as hv from toks),
+            votes as (
+              select doc_id, b.bit as bit,
+                     sum(case when (hv >> b.bit) & 1 = 1 then 1 else -1 end) as s
+              from h cross join (select unnest(range(0, 16)) as bit) b
+              group by doc_id, b.bit)
+            select doc_id as key,
+                   sum(case when s > 0 then (1::bigint << bit) else 0 end)::bigint as simhash
+            from votes group by doc_id
+        """,
+        "d4_ngram_jaccard": """
+            with g as (
+              select doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(length(text) - 2, 1) + 1),
+                       i -> substring(text, i::int, 3))) as grams
+              from documents)
+            select a.doc_id as key_x, b.doc_id as key_y,
+                   round(len(list_intersect(a.grams, b.grams))::double
+                         / len(list_distinct(list_concat(a.grams, b.grams))), 6) as jaccard
+            from g a join g b on b.doc_id = a.doc_id + 1
+        """,
+        "d5_embedding_cosine": """
+            -- ordered list_sum matches Spark's left-to-right aggregate()
+            -- bit-for-bit, so the 4dp rounding can never straddle a boundary
+            with p as (select a.vec_id as key_x, b.vec_id as key_y,
+                              a.embedding va, b.embedding vb
+                       from embeddings a join embeddings b on b.vec_id = a.vec_id + 1)
+            select key_x, key_y,
+                   round(round(
+                     list_sum(list_transform(list_zip(va, vb), s -> s[1]::double * s[2]::double))
+                     / (sqrt(list_sum(list_transform(va, x -> x::double * x::double)))
+                        * sqrt(list_sum(list_transform(vb, x -> x::double * x::double)))), 6), 4) as cosine
+            from p
+        """,
+        "ann1_bruteforce_topk": """
+            with q as (select vec_id as query_id, embedding as qv from embeddings where vec_id < 3),
+            c as (select vec_id, embedding as v from embeddings),
+            s as (select query_id, vec_id,
+                         round(
+                           list_sum(list_transform(list_zip(qv, v), p -> p[1]::double * p[2]::double))
+                           / (sqrt(list_sum(list_transform(qv, x -> x::double * x::double)))
+                              * sqrt(list_sum(list_transform(v, x -> x::double * x::double)))), 6) as cos6
+                  from q cross join c)
+            select query_id, vec_id, round(cos6, 4) as cosine, rank from (
+              select query_id, vec_id, cos6,
+                     row_number() over (partition by query_id order by cos6 desc, vec_id asc) as rank
+              from s) where rank <= 5
+        """,
+        "t1_token_count": r"""
+            select doc_id as key,
+                   len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) as n_tokens,
+                   length(text) as n_chars
+            from documents
+        """,
+        "t2_quality_score": r"""
+            with b as (
+              select doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') as toks,
+                     length(text) as n_chars,
+                     length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) as punct
+              from documents),
+            c as (
+              select doc_id, toks, n_chars, punct,
+                     len(toks) as n_tok,
+                     len(list_filter(toks, t -> list_contains(
+                       ['the','and','of','to','in','is','that','it','was','for'], t))) as stop_hits,
+                     list_sum(list_transform(toks, t -> length(t))) as tok_chars
+              from b)
+            select doc_id as key,
+                   round(punct::double / greatest(n_chars, 1), 6) as punct_ratio,
+                   round(stop_hits::double / greatest(n_tok, 1), 6) as stopword_ratio,
+                   round(coalesce(tok_chars, 0)::double / greatest(n_tok, 1), 6) as mean_token_len,
+                   round(least(n_tok / 20.0, 1.0)
+                         * greatest(0.0, 1.0 - round(punct::double / greatest(n_chars,1), 6) * 4)
+                         * case when round(coalesce(tok_chars,0)::double / greatest(n_tok,1), 6)
+                                     between 3 and 10 then 1.0 else 0.5 end, 6) as quality
+            from c
+        """,
+        "t3_lang_id": r"""
+            with b as (
+              select doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') as toks
+              from documents),
+            s as (
+              select doc_id,
+                     greatest(len(toks), 1) as n,
+                     len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','that','it','was','for'], t)))::double as en,
+                     len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','mit','von','zu'], t)))::double as de,
+                     len(list_filter(toks, t -> list_contains(['le','la','et','les','des','est','une','dans','que','pour'], t)))::double as fr,
+                     len(list_filter(toks, t -> list_contains(['el','la','de','que','los','una','es','por','con','para'], t)))::double as es
+              from b),
+            langs as (
+              select doc_id, 'en' as lang, en/n as sc from s
+              union all select doc_id, 'de', de/n from s
+              union all select doc_id, 'fr', fr/n from s
+              union all select doc_id, 'es', es/n from s),
+            best as (
+              select doc_id, lang, sc,
+                     row_number() over (partition by doc_id
+                                        order by sc desc, lang desc) as rnk
+              from langs)
+            select doc_id as key,
+                   case when sc > 0 then lang else 'und' end as lang,
+                   round(sc, 6) as lang_score
+            from best where rnk = 1
+        """,
+        "t4_fingerprint": r"""
+            select doc_id as key,
+                   md5(array_to_string(list_sort(list_distinct(
+                     list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))), ' ')) as fingerprint
+            from documents
+        """,
+    }

@@ -1,0 +1,286 @@
+"""Deterministic synthetic transcripts fixture (seeded, offline).
+
+Implements the FIXTURES.md recipe: K ground-truth entities (person +
+organization names), M conversations per entity whose text embeds an alias
+of the entity, 3-8 turns per conversation, plus a hidden
+``truth(conv_id -> entity_id)`` table for cluster-agreement checks.
+
+Alias families mirror the reference's observable generators
+(generate_names.py / utils.py:96-129 in vietexob/name-matching — rule-based,
+no LLM): identity, single-initial ("J Smith"), token swap ("Smith John"),
+diminutive prefix ("Win Scott"), single-char typos at configurable
+probability, punctuation variants, and org-designator swaps
+("Company Limited" ~ "Co Ltd").
+
+All randomness flows from one ``numpy`` Generator with a fixed seed: the
+same arguments always produce byte-identical tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_FIRST = """
+ALICIA MARIANNE MONIQUE JACINTA SENN GABRIELLE LOIC ROSA MARIA HERMANN
+DUSTIN TERESA FRANK HELIODORO LAURIE LYNN JULIA PATRICIA ANNA MARA JOSE
+CANDIDO ISABELLA CHARLOTTE WINSTON HELEN JONATHAN SEPP LUC LORENA LIA LEI
+TSUBASA NADIA VICTOR EMILIO GRETA HANNES INGRID JEROME KLARA LORENZO
+MATHILDE NIELS OKSANA PAVEL QUINN RENATA STEFAN TAMARA ULRICH VERONIKA
+WENDEL XIMENA YANNICK ZOFIA ADRIAN BEATRIX CORNEL DELPHINE EDGAR FIONA
+""".split()
+
+_LAST = """
+BOECHAT MALDONADO TROMMLER PERKINS HEIJMEN BOURDON MATIAS VIENNE BESENCON
+WARREN PELLETIER NETO BOURQUARD MALLET PALTRINIERI BENDER SHAH HOU OKADA
+WICK SCOTT SMITH JOHNSON RIVERA KOWALSKI LINDQVIST FERRARO NAKAMURA
+OBRIEN DUBOIS VANDERBERG CASTELLANOS MORENO FITZGERALD ANTONESCU BERGSTROM
+CHALUPA DVORAK ECKHART FALKENRATH GRIMALDI HOLMGREN IBARRA JAROSZ KREBS
+LANDAU MERCIER NOVAK OSTERMANN PRZYBYLSKI QUENNEVILLE ROSSI SANTAMARIA
+""".split()
+
+_ORG_CORE = """
+CONTINENTAL AGODA APEX BOREAL CASCADE DELTA EVEREST FOUNDRY GRANITE HARBOR
+IRONWOOD JUNIPER KESTREL LUMEN MERIDIAN NIMBUS OBSIDIAN PINNACLE QUARTZ
+REDWOOD SUMMIT TUNDRA UPLAND VERTEX WILLOW ZENITH ATLAS BEACON CITADEL
+""".split()
+
+_ORG_KIND = ["HOTEL", "BANK", "TRADING", "LOGISTICS", "CAPITAL", "SYSTEMS", "PARTNERS"]
+_ORG_SUFFIX_FAMILIES = [
+    ["COMPANY LIMITED", "CO LTD", "CO., LTD", "LTD"],
+    ["INCORPORATED", "INC", "INC."],
+    ["CORPORATION", "CORP", "CORP."],
+    ["HOLDINGS", "HOLDING"],
+    [""],
+]
+
+_CHATTER = [
+    "PLEASE CONFIRM THE TRANSFER DETAILS",
+    "THE PAYMENT WAS PROCESSED ON 02/01 YEAR 1989.",
+    "CHECKING ACCOUNT BALANCE NOW",
+    "CAN YOU VERIFY THE REFERENCE NUMBER 4471?",
+    "THANKS, THAT RESOLVES MY QUESTION",
+    "I WILL ESCALATE THIS TO THE COMPLIANCE TEAM",
+    "THE COUNTERPARTY DETAILS LOOK CORRECT",
+    "LET ME PULL UP THE TRANSACTION HISTORY",
+    "ONE MOMENT WHILE I RUN THE LOOKUP",
+    "IS THERE ANYTHING ELSE I CAN HELP WITH?",
+]
+
+_TOOLS = ["lookup_customer", "verify_entity", "screen_party"]
+
+
+def _typo(rng: np.random.Generator, name: str, prob_flip: float = 0.3) -> str:
+    """Single-char substitution per token with prob_flip (the reference's
+    generate_typo_name semantics, utils.py:96-129)."""
+    letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZ "
+    out = []
+    for token in name.split():
+        if rng.random() <= prob_flip and len(token) > 0:
+            idx = int(rng.integers(0, len(token)))
+            token = token[:idx] + letters[int(rng.integers(0, len(letters)))] + token[idx + 1 :]
+        out.append(token)
+    return " ".join(out)
+
+
+def _person_aliases(rng: np.random.Generator, first: str, last: str) -> list[str]:
+    full = f"{first} {last}"
+    aliases = [
+        full,
+        f"{first[0]}. {last}",               # initial
+        f"{last} {first}",                   # token swap
+        f"{first[: max(3, len(first) // 2)]} {last}",  # diminutive prefix
+        _typo(rng, full),                     # typo
+        f"{first}, {last}",                  # punctuation variant
+    ]
+    return aliases
+
+
+def _org_aliases(rng: np.random.Generator, core: str, kind: str) -> list[str]:
+    fam = _ORG_SUFFIX_FAMILIES[int(rng.integers(0, len(_ORG_SUFFIX_FAMILIES)))]
+    base = f"{core} {kind}"
+    aliases = [f"{base} {suf}".strip() for suf in fam[:3]]
+    aliases.append(f"{kind} {core}")          # token swap (HOTEL CONTINENTAL)
+    aliases.append(_typo(rng, base))
+    return aliases
+
+
+def generate_entities(n_entities: int = 200, seed: int = 42) -> pd.DataFrame:
+    """(entity_id, full_name, ent_type, aliases:list[str]).  Shared last
+    names across entities are deliberate: they create the hard-negative
+    blocks the scorer must reject."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    n_pers = int(n_entities * 0.7)
+    syllables = ["BAR", "KEL", "MON", "TAR", "VIN", "SOR", "LAN", "DRE", "FOS", "GRI",
+                 "HAL", "JUR", "KAS", "LOM", "NER", "PIK", "QUI", "RAV", "STE", "TUL"]
+    for e in range(n_entities):
+        if e < n_pers:
+            first = _FIRST[int(rng.integers(0, len(_FIRST)))]
+            if rng.random() < 0.2:
+                # Deliberate hard-negative families: shared surnames.
+                last = _LAST[int(rng.integers(0, len(_LAST)))]
+            else:
+                # Realistic long tail: synthesized (mostly unique) surnames.
+                last = "".join(
+                    syllables[int(rng.integers(0, len(syllables)))]
+                    for _ in range(int(rng.integers(2, 4)))
+                )
+            full = f"{first} {last}"
+            aliases = _person_aliases(rng, first, last)
+            ent_type = "PERS"
+        else:
+            core = _ORG_CORE[int(rng.integers(0, len(_ORG_CORE)))]
+            kind = _ORG_KIND[int(rng.integers(0, len(_ORG_KIND)))]
+            full = f"{core} {kind}"
+            aliases = _org_aliases(rng, core, kind)
+            ent_type = "ORGA"
+        rows.append({"entity_id": e, "full_name": full, "ent_type": ent_type, "aliases": aliases})
+    return pd.DataFrame(rows)
+
+
+def generate_transcripts(
+    n_entities: int = 200,
+    convs_per_entity: int = 5,
+    seed: int = 42,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Returns (transcripts, truth).
+
+    transcripts: (conv_id, turn_idx, role, text, tool, ts) — one row per turn.
+    truth:       (conv_id, entity_id, alias) — hidden ground truth.
+    """
+    rng = np.random.default_rng(seed)
+    entities = generate_entities(n_entities, seed)
+    t_rows, truth_rows = [], []
+    base_ts = np.datetime64("2026-01-01T00:00:00")
+    conv_no = 0
+    for ent in entities.itertuples():
+        for _ in range(convs_per_entity):
+            conv_id = f"c{conv_no:08d}"
+            conv_no += 1
+            alias = ent.aliases[int(rng.integers(0, len(ent.aliases)))]
+            n_turns = int(rng.integers(3, 9))
+            tool_turn = int(rng.integers(1, n_turns))
+            ts = base_ts + np.timedelta64(int(rng.integers(0, 10_000_000)), "s")
+            for turn in range(n_turns):
+                if turn == tool_turn:
+                    role, tool = "tool", _TOOLS[int(rng.integers(0, len(_TOOLS)))]
+                    text = f'{tool}(name="{alias}") -> status=OK'
+                else:
+                    role = "user" if turn % 2 == 0 else "assistant"
+                    tool = ""
+                    text = _CHATTER[int(rng.integers(0, len(_CHATTER)))]
+                    if turn == 0:
+                        text = f"I NEED HELP WITH A PAYMENT INVOLVING {alias}. " + text
+                t_rows.append(
+                    {
+                        "conv_id": conv_id,
+                        "turn_idx": np.int32(turn),
+                        "role": role,
+                        "text": text,
+                        "tool": tool,
+                        "ts": ts + np.timedelta64(turn * 30, "s"),
+                    }
+                )
+            truth_rows.append({"conv_id": conv_id, "entity_id": ent.entity_id, "alias": alias})
+    transcripts = pd.DataFrame(t_rows)
+    transcripts["turn_idx"] = transcripts["turn_idx"].astype("int32")
+    # Microsecond precision: Spark cannot read parquet TIMESTAMP(NANOS).
+    transcripts["ts"] = transcripts["ts"].astype("datetime64[us]")
+    return transcripts, pd.DataFrame(truth_rows)
+
+
+def generate_labeled_pairs(
+    n_entities: int = 600,
+    seed: int = 7,
+) -> pd.DataFrame:
+    """Synthetic labeled pairs from the same alias grammar as the fixture
+    (different seed!): positives = alias pairs of one entity; negatives =
+    the hard confusable families string-only matching must reject:
+
+    * PERS same-last / same-first with a different other token;
+    * cross-entity token swaps ("A B" vs "B C");
+    * ORGA same kind+designator with a different core (and vice versa).
+
+    Used as *training augmentation* — the reference's labeled CSVs remain
+    the F1 gate; these teach the booster the negative space the reference
+    corpus never covered (its negatives are persons only,
+    make_dataset.py:195-249).
+    """
+    rng = np.random.default_rng(seed)
+    ents = generate_entities(n_entities, seed=seed + 1)
+    rows = []
+    ents_list = list(ents.itertuples())
+    # Positives: all alias pairs per entity (cap 6 per entity).
+    for ent in ents_list:
+        al = list(dict.fromkeys(ent.aliases))
+        cnt = 0
+        for i in range(len(al)):
+            for j in range(i + 1, len(al)):
+                rows.append({"NAME_X": al[i], "NAME_Y": al[j], "label": 1})
+                cnt += 1
+                if cnt >= 6:
+                    break
+            if cnt >= 6:
+                break
+    # Negatives: confusable cross-entity pairs.
+    by_last: dict[str, list] = {}
+    by_first: dict[str, list] = {}
+    for ent in ents_list:
+        toks = ent.full_name.split()
+        by_first.setdefault(toks[0], []).append(ent)
+        by_last.setdefault(toks[-1], []).append(ent)
+    for groups in (by_last, by_first):
+        for _, members in groups.items():
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    a, b = members[i], members[j]
+                    if a.full_name == b.full_name:
+                        continue
+                    rows.append({"NAME_X": a.full_name, "NAME_Y": b.full_name, "label": 0})
+                    # swap variant of the confusable
+                    bt = b.full_name.split()
+                    rows.append(
+                        {"NAME_X": a.full_name, "NAME_Y": " ".join(reversed(bt)), "label": 0}
+                    )
+                    # alias-vs-alias confusable
+                    rows.append(
+                        {
+                            "NAME_X": a.aliases[int(rng.integers(0, len(a.aliases)))],
+                            "NAME_Y": b.aliases[int(rng.integers(0, len(b.aliases)))],
+                            "label": 0,
+                        }
+                    )
+    # Random non-confusable negatives for balance.
+    for _ in range(len(ents_list) * 4):
+        a = ents_list[int(rng.integers(0, len(ents_list)))]
+        b = ents_list[int(rng.integers(0, len(ents_list)))]
+        if a.full_name != b.full_name:
+            rows.append({"NAME_X": a.full_name, "NAME_Y": b.full_name, "label": 0})
+    df = pd.DataFrame(rows).drop_duplicates(subset=["NAME_X", "NAME_Y"])
+    return df.reset_index(drop=True)
+
+
+def write_fixture(
+    out_dir: str,
+    n_entities: int = 200,
+    convs_per_entity: int = 5,
+    seed: int = 42,
+) -> None:
+    """Write transcripts.parquet + truth.parquet under ``out_dir``."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    transcripts, truth = generate_transcripts(n_entities, convs_per_entity, seed)
+    transcripts.to_parquet(os.path.join(out_dir, "transcripts.parquet"), index=False)
+    truth.to_parquet(os.path.join(out_dir, "truth.parquet"), index=False)
+
+
+if __name__ == "__main__":
+    import sys
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "data/transcripts_small"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    m = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    write_fixture(out, n, m)
+    print(f"wrote {out} (entities={n}, convs/entity={m})")

@@ -29,6 +29,7 @@ FEATURE_COLS = [
     "jaro_winkler",
     "monge_elkan_jw",
     "core_ratio",
+    "token_weakest_link",
 ]
 
 
@@ -50,5 +51,6 @@ def build_features(xs, ys, tfidf: TfidfModel) -> np.ndarray:
         sim.jaro_winkler_batch(xs, ys),
         sim.monge_elkan_jw_batch(xs, ys),
         sim.core_ratio_batch(xs, ys),
+        sim.token_weakest_link_batch(xs, ys),
     ]
     return np.column_stack(cols)

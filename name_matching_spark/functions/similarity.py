@@ -361,3 +361,52 @@ def core_ratio_batch(xs, ys) -> np.ndarray:
     return ratio_batch(
         [strip_legal_suffixes(s) for s in xs], [strip_legal_suffixes(s) for s in ys]
     )
+
+
+# ---------------------------------------------------------------------------
+# Weakest-link token alignment.  True aliases keep EVERY token compatible
+# with its aligned partner (exact, single-char initial, prefix/typo); pairs
+# of different entities sharing a surname have one incompatible token
+# ("ADRIAN" vs "ANNA", "P" vs "Y") that the min exposes where means hide it.
+# ---------------------------------------------------------------------------
+
+
+def _token_sim(a: str, b: str) -> float:
+    if a == b:
+        return 1.0
+    if len(a) == 1 or len(b) == 1:
+        # Single-char initial: full credit iff it matches the partner's
+        # first char, else a hard zero (an initial carries exactly one bit).
+        return 1.0 if (a[0] == b[0] and len(a) != len(b)) else 0.0
+    if a.startswith(b) or b.startswith(a):
+        return 1.0  # diminutive / truncation
+    return jaro_winkler(a, b)
+
+
+def token_weakest_link(x: str, y: str) -> float:
+    tx, ty = x.split(), y.split()
+    if not tx or not ty:
+        return 0.0
+    if len(tx) > len(ty):
+        tx, ty = ty, tx
+    remaining = list(ty)
+    worst = 1.0
+    for t in tx:
+        best_i, best_s = 0, -1.0
+        for i, u in enumerate(remaining):
+            s = _token_sim(t, u)
+            if s > best_s:
+                best_i, best_s = i, s
+        remaining.pop(best_i)
+        worst = min(worst, best_s)
+    # Leftover tokens of the longer side are ignored (org designators,
+    # middle names) — the Jaccard/ratio features already penalize them.
+    return worst
+
+
+def token_weakest_link_batch(xs, ys) -> np.ndarray:
+    return np.fromiter(
+        (token_weakest_link(x, y) for x, y in zip(xs, ys)),
+        dtype=np.float64,
+        count=len(xs),
+    )

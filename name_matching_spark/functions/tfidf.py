@@ -105,6 +105,70 @@ class TfidfModel:
             out[k] = sum(v * wy.get(i, 0.0) for i, v in wx.items())
         return out
 
+    # -- distributed fitting ---------------------------------------------------
+
+    @classmethod
+    def fit_spark(
+        cls,
+        names_df,
+        name_col: str = "name",
+        extra_corpus: list[str] | None = None,
+        max_df: float = 0.9,
+        max_features: int = 10000,
+    ) -> "TfidfModel":
+        """Fit on a (possibly huge) Spark DataFrame of names plus an optional
+        driver-side extra corpus.  The document-frequency / term-frequency
+        aggregation runs distributed; only the <= ``max_features`` vocabulary
+        rows are collected.  Tokenization mirrors :func:`_terms` exactly for
+        whitespace-normalized word-character names (which is what the
+        normalization stage guarantees).
+        """
+        from pyspark.sql import functions as F
+
+        docs = names_df.select(F.lower(F.col(name_col)).alias("doc")).distinct()
+        if extra_corpus:
+            spark = names_df.sparkSession
+            extra = spark.createDataFrame(
+                [(c.lower(),) for c in extra_corpus], ["doc"]
+            ).distinct()
+            docs = docs.unionByName(extra).distinct()
+        toks = F.filter(F.split(F.col("doc"), " "), lambda t: F.length(t) >= 2)
+        n_tok = F.size(toks)
+        bigrams = F.zip_with(
+            F.slice(toks, 1, F.greatest(n_tok - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n_tok - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        with_terms = docs.select(
+            "doc", F.concat(toks, bigrams).alias("terms")
+        )
+        n_docs = docs.count()
+        stats = (
+            with_terms.select(F.explode("terms").alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("tf"))
+            .join(
+                with_terms.select(
+                    F.explode(F.array_distinct(F.col("terms"))).alias("term")
+                )
+                .groupBy("term")
+                .agg(F.count("*").alias("df")),
+                "term",
+            )
+            .where(F.col("df") <= max_df * n_docs)
+            .orderBy(F.desc("tf"), F.asc("term"))
+            .limit(max_features)
+            .collect()
+        )
+        kept = sorted(r["term"] for r in stats)
+        dfmap = {r["term"]: r["df"] for r in stats}
+        vocab = {t: i for i, t in enumerate(kept)}
+        idf = np.array(
+            [np.log((1.0 + n_docs) / (1.0 + dfmap[t])) + 1.0 for t in kept],
+            dtype=np.float64,
+        )
+        return cls(vocab, idf)
+
     # -- (de)serialization ----------------------------------------------------
 
     def to_json(self) -> str:

@@ -32,6 +32,7 @@ POS_CSV = os.path.join(DATA_DIR, "name_matching_pos_pairs.csv")
 NEG_CSV = os.path.join(DATA_DIR, "name_matching_neg_pairs.csv")
 MODEL_PATH = os.path.join(MODEL_DIR, "match_gbm.json")
 TFIDF_PATH = os.path.join(MODEL_DIR, "tfidf.json")
+CORPUS_PATH = os.path.join(MODEL_DIR, "train_corpus.json")
 METRICS_PATH = os.path.join(MODEL_DIR, "train_metrics.json")
 
 DEFAULT_THRESHOLD = 0.85  # the reference's decision threshold everywhere
@@ -65,6 +66,21 @@ def f1_score(y_true: np.ndarray, y_pred: np.ndarray) -> float:
     return 2 * prec * rec / (prec + rec)
 
 
+def load_synthetic_pairs(n_entities: int = 600, seed: int = 7) -> pd.DataFrame:
+    """Synthetic augmentation pairs (see datagen.generate_labeled_pairs):
+    the confusable negative space — ORGA same-kind/different-core,
+    cross-entity swaps — that the reference's person-only negative corpus
+    never covers.  Normalized like the reference pairs."""
+    from name_matching_spark.datagen import generate_labeled_pairs
+
+    df = generate_labeled_pairs(n_entities=n_entities, seed=seed)
+    df = df.rename(columns={"NAME_X": "name_x", "NAME_Y": "name_y"})
+    df["name_x_norm"] = df["name_x"].map(preprocess_name)
+    df["name_y_norm"] = df["name_y"].map(preprocess_name)
+    df = df[(df["name_x_norm"].str.len() > 0) & (df["name_y_norm"].str.len() > 0)]
+    return df.reset_index(drop=True)
+
+
 def train(
     pos_csv: str = POS_CSV,
     neg_csv: str = NEG_CSV,
@@ -74,12 +90,30 @@ def train(
     test_frac: float = 0.2,
     threshold: float = DEFAULT_THRESHOLD,
     seed: int = 42,
+    synthetic_entities: int = 600,
     verbose: bool = True,
 ) -> dict:
     t0 = time.time()
     df = load_labeled_pairs(pos_csv, neg_csv)
-    # TF-IDF corpus = unique positive left names (reference train_model.py:493-495).
-    corpus = sorted(df.loc[df["label"] == 1, "name_x_norm"].unique())
+    df["source"] = "reference"
+    if synthetic_entities:
+        syn = load_synthetic_pairs(n_entities=synthetic_entities)
+        syn["source"] = "synthetic"
+        df = pd.concat(
+            [df, syn[["name_x", "name_y", "label", "name_x_norm", "name_y_norm", "source"]]],
+            ignore_index=True,
+        )
+    # TF-IDF corpus = every distinct name in the labeled frame.  Deliberate
+    # divergence from the reference (which fits on positive left names only,
+    # train_model.py:493-495): a partially-covered vocabulary makes OOV
+    # vectors collapse onto their one in-vocab token and report cosine 1.0
+    # for different names — catastrophic over-merging at resolution scale.
+    # The feature is therefore defined as "cosine under TF-IDF fitted on the
+    # full active corpus", here the training names, at resolution time the
+    # training ∪ resolution names (TfidfModel.fit_spark).
+    corpus = sorted(
+        set(df["name_x_norm"].unique()) | set(df["name_y_norm"].unique())
+    )
     tfidf = TfidfModel.fit(corpus)
     X = build_features(df["name_x_norm"].tolist(), df["name_y_norm"].tolist(), tfidf)
     y = df["label"].to_numpy(dtype=np.float64)
@@ -106,18 +140,30 @@ def train(
     ).fit(X, y)
     p_full = model.predict_proba(X)
     f1_full = f1_score(y, (p_full >= threshold).astype(int))
+    # The authoritative gate: F1 on the REFERENCE labeled subset only.
+    is_ref = (df["source"] == "reference").to_numpy()
+    f1_reference = f1_score(y[is_ref], (p_full[is_ref] >= threshold).astype(int))
+    ref_test = is_ref[test_idx]
+    f1_reference_holdout = f1_score(
+        y[test_idx][ref_test], (p_test[ref_test] >= threshold).astype(int)
+    )
 
     os.makedirs(MODEL_DIR, exist_ok=True)
     with open(MODEL_PATH, "w") as f:
         f.write(model.to_json())
     with open(TFIDF_PATH, "w") as f:
         f.write(tfidf.to_json())
+    with open(CORPUS_PATH, "w") as f:
+        json.dump(corpus, f)
     metrics = {
         "rows": int(len(y)),
         "positives": int(y.sum()),
         "threshold": threshold,
         "f1_holdout": round(f1_holdout, 6),
         "f1_full": round(f1_full, 6),
+        "f1_reference": round(f1_reference, 6),
+        "f1_reference_holdout": round(f1_reference_holdout, 6),
+        "synthetic_entities": synthetic_entities,
         "n_estimators": n_estimators,
         "max_depth": max_depth,
         "learning_rate": learning_rate,
@@ -140,6 +186,13 @@ def load_artifacts(model_path: str = MODEL_PATH, tfidf_path: str = TFIDF_PATH):
     with open(tfidf_path) as f:
         tfidf = TfidfModel.from_json(f.read())
     return model, tfidf
+
+
+def load_train_corpus(path: str = CORPUS_PATH) -> list[str]:
+    if not os.path.exists(path):
+        train(verbose=False)
+    with open(path) as f:
+        return json.load(f)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,225 @@
+"""Corpus-scale deduplication operators (documents table).
+
+The operators a large-scale training-data pipeline needs, each expressed
+Spark-first (native expressions wherever possible, hash functions chosen so
+a DuckDB oracle can reproduce them bit-for-bit):
+
+* :func:`exact_dedup`       — hash-groupBy exact duplicate removal;
+* :func:`minhash_signatures`/:func:`minhash_lsh_pairs` — MinHash over word
+  shingles with md5-derived hashes (md5 exists in Spark AND DuckDB, so the
+  whole LSH path is oracle-checkable), banded into LSH buckets, candidate
+  pairs from the bucket self-join;
+* :func:`simhash`           — 32-bit SimHash over token md5s (majority bit
+  vote), plus near-dup pairs at Hamming distance <= k via band rotation;
+* :func:`ngram_jaccard_pairs` — character-n-gram Jaccard for candidate
+  pairs (verification step after LSH);
+* :func:`embedding_cosine_pairs` — exact cosine near-dup over an embedding
+  column (see similarity_search.py for the ANN path).
+
+Scale notes: every operator is a (narrow map) -> (explode) -> (hash
+aggregate / hash join) plan — no windows over global orderings, no driver
+collection.  The LSH band join is the standard sub-quadratic near-dup
+strategy: candidates ~ O(docs x bands), never O(n^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _md5_long(col: Column) -> Column:
+    """Stable 60-bit integer from md5 — identical in Spark and DuckDB
+    (``conv(substr(md5(x),1,15),16,10)``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _md5_int28(col: Column) -> Column:
+    """Stable 28-bit integer from md5 (first 7 hex chars): small enough
+    that affine rehashing stays overflow-free in ANSI int64 arithmetic."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest key per identical text (deterministic winner)."""
+    return (
+        docs.groupBy(text_col)
+        .agg(F.min(key_col).alias(key_col), F.count("*").alias("dup_count"))
+        .select(key_col, text_col, "dup_count")
+    )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """array<string> of word n-gram shingles (distinct).  Splits on the
+    single-space delimiter (inputs are whitespace-normalized documents) so
+    the DuckDB oracle's ``string_split(text, ' ')`` is byte-equivalent."""
+    toks = F.split(col, " ")
+    k = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            k >= n,
+            F.transform(
+                F.sequence(F.lit(0), k - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+_MERSENNE31 = (1 << 31) - 1
+# Fixed affine constants (a_k, b_k) for the md5-seeded MinHash family.
+_MH = [(2 * k + 3, 7 * k + 1) for k in range(64)]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(key, sig: array<long>) — MinHash signature per document.
+
+    Base hash = 28-bit md5 prefix of the shingle (oracle-reproducible);
+    family members are affine rehashes mod the Mersenne prime 2^31-1 —
+    28-bit base x tiny a_k keeps everything overflow-free under ANSI
+    int64 arithmetic in both engines."""
+    sh = word_shingles(F.col(text_col), shingle_n)
+    base = F.transform(sh, lambda s: _md5_int28(s))
+
+    def _affine(a: int, b: int):
+        # Single-arg lambda: F.transform treats a second parameter as the
+        # element index, so constants must be closed over, not defaulted.
+        return lambda v: (v * a + b) % _MERSENNE31
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(base, _affine(*_MH[k])))
+            for k in range(num_hashes)
+        ]
+    )
+    return docs.select(F.col(key_col).alias("key"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (key_x < key_y) whose signatures collide in
+    at least one LSH band."""
+    sigs = minhash_signatures(
+        docs, text_col, key_col, num_hashes=bands * rows_per_band, shingle_n=shingle_n
+    )
+    band_rows = None
+    for b in range(bands):
+        band = sigs.select(
+            "key",
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                *[F.col("sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)],
+            ).alias("bucket"),
+        )
+        band_rows = band if band_rows is None else band_rows.unionByName(band)
+    a, b_ = band_rows.alias("a"), band_rows.alias("b")
+    return (
+        a.join(b_, "bucket")
+        .where(F.col("a.key") < F.col("b.key"))
+        .select(F.col("a.key").alias("key_x"), F.col("b.key").alias("key_y"))
+        .dropDuplicates(["key_x", "key_y"])
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """(key, simhash: long) — majority-vote bit signature over token md5s.
+
+    Native plan: explode tokens -> per-(doc, bit) vote via shiftright/AND ->
+    hash-aggregate back.  One shuffle, no UDFs."""
+    toks = docs.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), r"\s+"))).alias("tok"),
+    ).withColumn("h", _md5_long(F.col("tok")))
+    votes = toks.select(
+        "key",
+        *[
+            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+            for i in range(bits)
+        ],
+    )
+    agg = votes.groupBy("key").agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)]
+    )
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << i)
+        sim = bit if sim is None else sim + bit
+    return agg.select("key", sim.cast("long").alias("simhash"))
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1))),
+            lambda i: col.substr(i, F.lit(n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Verify candidate pairs with exact char-n-gram Jaccard (set semantics)."""
+    d = docs.select(F.col(key_col).alias("key"), char_ngrams(F.col(text_col), n).alias("grams"))
+    out = (
+        pairs.join(d.withColumnRenamed("key", "key_x").withColumnRenamed("grams", "gx"), "key_x")
+        .join(d.withColumnRenamed("key", "key_y").withColumnRenamed("grams", "gy"), "key_y")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("gx", "gy"))
+                / F.size(F.array_union("gx", "gy")),
+                6,
+            ),
+        )
+        .select("key_x", "key_y", "jaccard")
+    )
+    return out.where(F.col("jaccard") >= min_jaccard)
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    pairs: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine for given candidate pairs over an array<float> column —
+    native ``zip_with``/``aggregate``, JVM-side."""
+    def norm(c: Column) -> Column:
+        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v))
+
+    def dot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    e = emb.select(F.col(key_col).alias("key"), F.col(vec_col).alias("v"))
+    return (
+        pairs.join(e.withColumnRenamed("key", "key_x").withColumnRenamed("v", "vx"), "key_x")
+        .join(e.withColumnRenamed("key", "key_y").withColumnRenamed("v", "vy"), "key_y")
+        .withColumn(
+            "cosine",
+            F.round(dot(F.col("vx"), F.col("vy")) / (norm(F.col("vx")) * norm(F.col("vy"))), 6),
+        )
+        .select("key_x", "key_y", "cosine")
+    )

@@ -59,23 +59,37 @@ def resolve_records(
     name_cols: list[str],
 ) -> DataFrame:
     """Join entity assignments back onto a record table for each name
-    column; appends ``entity_<col>`` / ``resolved_<col>`` per input column.
+    column; appends ``<col>_entity_key`` / ``<col>_entity_id`` /
+    ``<col>_resolved`` per input column.
 
     The entity table is ~#distinct-names rows (small next to the record
     table), so it is broadcast — the reference's dict ``.map`` lookups
-    (entity_resolution.py:328-333) become broadcast-hash joins.
+    (entity_resolution.py:328-333) become broadcast-hash joins.  Names
+    absent from the entity table (e.g. filtered empties) fall back to
+    themselves, mirroring the singleton rule.
     """
     out = records
-    ent = F.broadcast(entities.select("name", "entity_id", "resolved_name"))
+    ent = entities.select("name", "entity_key", "entity_id", "resolved_name")
     for col in name_cols:
-        e = ent.withColumnRenamed("name", col).withColumnRenamed(
-            "entity_id", f"entity_{col}"
-        ).withColumnRenamed("resolved_name", f"resolved_{col}")
-        out = out.join(e, col, "left")
-        out = out.withColumn(
-            f"entity_{col}",
-            F.coalesce(F.col(f"entity_{col}"), F.xxhash64(F.col(col))),
-        ).withColumn(
-            f"resolved_{col}", F.coalesce(F.col(f"resolved_{col}"), F.col(col))
+        e = F.broadcast(
+            ent.select(
+                F.col("name").alias(col),
+                F.col("entity_key").alias(f"{col}_entity_key"),
+                F.col("entity_id").alias(f"{col}_entity_id"),
+                F.col("resolved_name").alias(f"{col}_resolved"),
+            )
+        )
+        out = (
+            out.join(e, col, "left")
+            .withColumn(
+                f"{col}_entity_key", F.coalesce(F.col(f"{col}_entity_key"), F.col(col))
+            )
+            .withColumn(
+                f"{col}_entity_id",
+                F.coalesce(F.col(f"{col}_entity_id"), F.xxhash64(F.col(col))),
+            )
+            .withColumn(
+                f"{col}_resolved", F.coalesce(F.col(f"{col}_resolved"), F.col(col))
+            )
         )
     return out

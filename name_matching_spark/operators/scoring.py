@@ -27,7 +27,8 @@ _SCORE_SCHEMA = (
     "jaccard_sim double, cosine_sim double, ratio double, "
     "sorted_token_ratio double, token_set_ratio double, partial_ratio double, "
     "emb_distance double, len_diff double, jaro_winkler double, "
-    "monge_elkan_jw double, core_ratio double, probability double"
+    "monge_elkan_jw double, core_ratio double, token_weakest_link double, "
+    "probability double"
 )
 
 # Executor-side artifact cache: parse JSON once per python worker.

@@ -1,0 +1,173 @@
+"""The end-to-end entity-resolution pipeline (batch, resumable).
+
+Re-architects the reference's 10-stage pandas flow
+(entity_resolution.py:368-433 in vietexob/name-matching) as checkpointed
+Spark stages:
+
+  transcripts --canonicalize--> conversations (turn collapse + mention)
+              --names---------> distinct normalized names
+              --block---------> candidate pairs (token/phonetic/LSH keys)
+              --score---------> features + probability + decision @0.85
+              --cluster-------> connected components over matched edges
+              --resolve-------> entity table + resolved conversations
+
+Every stage lands in the warehouse with a manifest (rows, per-partition
+lineage, timing); a rerun resumes from the last complete stage.  Shuffle
+boundaries: the canonicalize groupBy, the blocking key exchange, the pair
+dedup, and the CC iterations — everything else is narrow.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import json
+import os
+
+from name_matching_spark.functions.tfidf import TfidfModel
+from name_matching_spark.io.checkpoint import CheckpointManager
+from name_matching_spark.model.train import load_artifacts, load_train_corpus
+from name_matching_spark.operators.blocking import block_stats, candidate_pairs
+from name_matching_spark.operators.canonicalize import canonicalize
+from name_matching_spark.operators.clustering import connected_components
+from name_matching_spark.operators.resolve import entity_table, resolve_records
+from name_matching_spark.operators.scoring import score_pairs
+
+
+class EntityResolutionPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        threshold: float = 0.85,
+        max_block: int = 100,
+        run_id: str | None = None,
+    ):
+        self.spark = spark
+        self.ckpt = CheckpointManager(spark, warehouse, run_id)
+        self.threshold = threshold
+        self.max_block = max_block
+        model, _ = load_artifacts()
+        self._model_json = model.to_json()
+        self.timings: dict[str, float] = {}
+
+    def _stage(self, name: str, fn, inputs=None) -> DataFrame:
+        t0 = time.time()
+        out = self.ckpt.stage(name, fn, inputs=inputs)
+        self.timings[name] = round(time.time() - t0, 3)
+        return out
+
+    def _tfidf_stage(self, names: DataFrame) -> str:
+        """Fit (or resume) the corpus-adaptive TF-IDF; returns its JSON."""
+        path = os.path.join(self.ckpt.warehouse, "tfidf.json")
+        if not os.path.exists(path):
+            t0 = time.time()
+            tfidf = TfidfModel.fit_spark(
+                names, name_col="name", extra_corpus=load_train_corpus()
+            )
+            with open(path, "w") as f:
+                f.write(tfidf.to_json())
+            self.timings["tfidf"] = round(time.time() - t0, 3)
+        with open(path) as f:
+            return f.read()
+
+    def run(self, transcripts: DataFrame) -> dict[str, DataFrame]:
+        conv = self._stage("conversations", lambda: canonicalize(transcripts))
+        names = self._stage(
+            "names",
+            lambda: conv.where(
+                F.col("name").isNotNull() & (F.length("name") > 0)
+            )
+            .select("name")
+            .distinct(),
+            inputs=["conversations"],
+        )
+        # Corpus-adaptive TF-IDF: distributed fit over training ∪ resolution
+        # names (checkpointed like any stage — only the 10k-term vocab is
+        # collected/stored, never the name table).
+        tfidf_json = self._tfidf_stage(names)
+        pairs = self._stage(
+            "candidate_pairs",
+            lambda: candidate_pairs(names, max_block=self.max_block),
+            inputs=["names"],
+        )
+        self._stage(
+            "block_metrics",
+            lambda: block_stats(names, max_block=self.max_block),
+            inputs=["names"],
+        )
+        scored = self._stage(
+            "scored_pairs",
+            lambda: score_pairs(
+                pairs, self._model_json, tfidf_json, threshold=self.threshold
+            ),
+            inputs=["candidate_pairs", "tfidf"],
+        )
+        matches = scored.where(F.col("prediction") == 1)
+        components = self._stage(
+            "components",
+            lambda: connected_components(
+                matches.select(
+                    F.col("name_x").alias("src"), F.col("name_y").alias("dst")
+                )
+            ),
+            inputs=["scored_pairs"],
+        )
+        entities = self._stage(
+            "entities",
+            lambda: entity_table(components, names),
+            inputs=["components", "names"],
+        )
+        resolved = self._stage(
+            "resolved_conversations",
+            lambda: resolve_records(conv, entities, ["name"]),
+            inputs=["conversations", "entities"],
+        )
+        return {
+            "conversations": conv,
+            "names": names,
+            "candidate_pairs": pairs,
+            "scored_pairs": scored,
+            "components": components,
+            "entities": entities,
+            "resolved_conversations": resolved,
+        }
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts_path: str,
+    warehouse: str,
+    threshold: float = 0.85,
+    max_block: int = 100,
+) -> dict[str, DataFrame]:
+    """spark-submit entry: read the transcript table, run, return stages."""
+    transcripts = spark.read.parquet(transcripts_path)
+    pipe = EntityResolutionPipeline(
+        spark, warehouse, threshold=threshold, max_block=max_block
+    )
+    return pipe.run(transcripts)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    from name_matching_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("transcripts", help="path to transcripts parquet")
+    ap.add_argument("warehouse", help="warehouse directory for stage checkpoints")
+    ap.add_argument("--threshold", type=float, default=0.85)
+    ap.add_argument("--max-block", type=int, default=100)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+    spark = get_spark(master=args.master)
+    stages = run_pipeline(
+        spark, args.transcripts, args.warehouse, args.threshold, args.max_block
+    )
+    ents = stages["entities"]
+    print(f"entities: {ents.select('entity_key').distinct().count()}")
+    spark.stop()
