@@ -1,0 +1,112 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = the end-to-end entity-resolution pipeline on a
+deterministically generated transcripts table (sized to the scale factor)
+plus representative operator queries from __spark_entry__ on the driver
+tables.  The ER pipeline also reports candidate-pairs-scored/sec — the
+BASELINE.json throughput metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else 0.1
+
+OPERATOR_QUERIES = [
+    "a7_turn_collapse",
+    "j1_block_pairs",
+    "j4_broadcast_lookup",
+    "d2_minhash_lsh_pairs",
+    "d3_simhash",
+    "ann1_bruteforce_topk",
+    "t2_quality_score",
+    "a6_tfidf_vocab",
+]
+
+
+def _ensure_fixture(sf: float) -> str:
+    from name_matching_spark.datagen import write_fixture
+
+    n_entities = max(100, int(10000 * sf))
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "data",
+        f"bench_transcripts_e{n_entities}",
+    )
+    if not os.path.exists(os.path.join(out, "transcripts.parquet")):
+        write_fixture(out, n_entities=n_entities, convs_per_entity=5, seed=42)
+    return out
+
+
+def main() -> None:
+    from name_matching_spark.pipeline import EntityResolutionPipeline
+    from name_matching_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(
+        app_name="nms-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=2 * CPUS,
+    )
+    timings: dict[str, float] = {}
+
+    # --- ER pipeline (the flagship job) ---
+    fixture = _ensure_fixture(SF)
+    wh = tempfile.mkdtemp(prefix="nms_bench_wh_")
+    try:
+        t0 = time.time()
+        pipe = EntityResolutionPipeline(spark, wh)
+        transcripts = spark.read.parquet(os.path.join(fixture, "transcripts.parquet"))
+        stages = pipe.run(transcripts)
+        n_entities = stages["entities"].select("entity_key").distinct().count()
+        er_sec = time.time() - t0
+        timings["er_pipeline"] = round(er_sec, 3)
+        pairs_scored = pipe.ckpt.read("scored_pairs").count()
+        score_sec = max(pipe.timings.get("scored_pairs", er_sec), 1e-9)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+    # --- representative operator queries on the driver tables ---
+    qs = entry_mod.queries()
+    for name in OPERATOR_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF,
+                "cpus": CPUS,
+                "er_candidate_pairs_scored": pairs_scored,
+                "er_pairs_scored_per_sec": round(pairs_scored / score_sec, 1),
+                "er_entities": n_entities,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

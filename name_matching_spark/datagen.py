@@ -92,6 +92,9 @@ def _person_aliases(rng: np.random.Generator, first: str, last: str) -> list[str
         f"{first[: max(3, len(first) // 2)]} {last}",  # diminutive prefix
         _typo(rng, full),                     # typo
         f"{first}, {last}",                  # punctuation variant
+        # token merge / split (apostrophe-collapse family: O'Brien ->
+        # "O BRIEN" vs "OBRIEN"): same surface name, different tokenization
+        f"{first}{last}" if rng.random() < 0.5 else f"{first} {last[0]} {last[1:]}",
     ]
     return aliases
 
@@ -114,27 +117,35 @@ def generate_entities(n_entities: int = 200, seed: int = 42) -> pd.DataFrame:
     n_pers = int(n_entities * 0.7)
     syllables = ["BAR", "KEL", "MON", "TAR", "VIN", "SOR", "LAN", "DRE", "FOS", "GRI",
                  "HAL", "JUR", "KAS", "LOM", "NER", "PIK", "QUI", "RAV", "STE", "TUL"]
+    used: set[str] = set()
     for e in range(n_entities):
-        if e < n_pers:
-            first = _FIRST[int(rng.integers(0, len(_FIRST)))]
-            if rng.random() < 0.2:
-                # Deliberate hard-negative families: shared surnames.
-                last = _LAST[int(rng.integers(0, len(_LAST)))]
+        # Entity full names are unique by construction (re-draw on clash):
+        # two entities with the SAME surface form would make the truth table
+        # unsatisfiable for any resolver.
+        for _ in range(100):
+            if e < n_pers:
+                first = _FIRST[int(rng.integers(0, len(_FIRST)))]
+                if rng.random() < 0.2:
+                    # Deliberate hard-negative families: shared surnames.
+                    last = _LAST[int(rng.integers(0, len(_LAST)))]
+                else:
+                    # Realistic long tail: synthesized surnames.
+                    last = "".join(
+                        syllables[int(rng.integers(0, len(syllables)))]
+                        for _ in range(int(rng.integers(2, 4)))
+                    )
+                full, ent_type = f"{first} {last}", "PERS"
             else:
-                # Realistic long tail: synthesized (mostly unique) surnames.
-                last = "".join(
-                    syllables[int(rng.integers(0, len(syllables)))]
-                    for _ in range(int(rng.integers(2, 4)))
-                )
-            full = f"{first} {last}"
+                core = _ORG_CORE[int(rng.integers(0, len(_ORG_CORE)))]
+                kind = _ORG_KIND[int(rng.integers(0, len(_ORG_KIND)))]
+                full, ent_type = f"{core} {kind}", "ORGA"
+            if full not in used:
+                break
+        used.add(full)
+        if ent_type == "PERS":
             aliases = _person_aliases(rng, first, last)
-            ent_type = "PERS"
         else:
-            core = _ORG_CORE[int(rng.integers(0, len(_ORG_CORE)))]
-            kind = _ORG_KIND[int(rng.integers(0, len(_ORG_KIND)))]
-            full = f"{core} {kind}"
             aliases = _org_aliases(rng, core, kind)
-            ent_type = "ORGA"
         rows.append({"entity_id": e, "full_name": full, "ent_type": ent_type, "aliases": aliases})
     return pd.DataFrame(rows)
 

@@ -88,6 +88,20 @@ def normalize_text(
     return out
 
 
+def remove_or_extract_numeric_tokens(text: str, is_removal: bool = True) -> str:
+    """Standalone numeric-token remove/extract (operator P3): keeps or
+    returns whitespace tokens for which ``str.isnumeric()`` holds.  Note
+    the difference from the full normalization pipeline: applied directly,
+    '12-34' is one non-numeric token; inside normalization the punctuation
+    pass splits it first."""
+    tokens = text.split()
+    if is_removal:
+        kept = [t for t in tokens if not t.isnumeric()]
+    else:
+        kept = [t for t in tokens if t.isnumeric()]
+    return " ".join(kept)
+
+
 def preprocess_name(name: str) -> str:
     """Uppercase + normalize, the exact name-pipeline flag combination
     (upper -> remove_numbers=True, remove_stopwords=False)."""
@@ -114,8 +128,10 @@ def normalize_text_col(
     """
     c = F.upper(col) if upper else col
     c = F.regexp_replace(c, r"[/(){}\[\]\|@,;]", " ")
-    # (?U) gives Java's \w and \s Python's Unicode semantics.
-    c = F.regexp_replace(c, r"(?U)[^\w\s]", " ")
+    # (?U) gives Java's \w and \s Python's Unicode semantics.  Python's \w
+    # additionally spans the letter-number/other-number categories (½, Ⅻ
+    # are str.isalnum()), which Java's \w excludes — keep them explicitly.
+    c = F.regexp_replace(c, r"(?U)[^\w\s\p{Nl}\p{No}]", " ")
     tokens = F.split(c, r"(?U)\s+")
     tokens = F.filter(tokens, lambda t: t != F.lit(""))
     if remove_numbers:

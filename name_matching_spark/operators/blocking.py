@@ -30,20 +30,16 @@ from pyspark.sql import functions as F
 
 from name_matching_spark.functions.phonetic import double_metaphone_udf
 
-# Affine universal-hash constants for the MinHash family (fixed seed).
-# Values are < 2^31 so v*a+b stays well inside int64 — ANSI-mode safe
-# (Spark 4 raises on long overflow instead of wrapping).
+# Affine universal-hash family for MinHash (derived, fixed seed): values
+# stay < 2^31 so v*a+b stays well inside int64 — ANSI-mode safe (Spark 4
+# raises on long overflow instead of wrapping).
 _MH_PRIME = (1 << 31) - 1  # Mersenne prime 2^31-1
-_MINHASH_A = [
-    0x5DEECE66, 0x2545F491, 0x27D4EB2F, 0x165667B1, 0x1CE4E5B9, 0x133111EB,
-    0x4F6CDD1D, 0x7F4A7C15, 0x6659FD93, 0x1A85EC53, 0x07BB0143, 0x3F84D5B5,
-    0x2AAB35C6, 0x61C88647, 0x735A2D97, 0x52DCE729,
-]
-_MINHASH_B = [
-    0x0B, 0x3A8F05C5, 0x2D358DCC, 0x613D1E2B, 0x1B873593, 0x5BD1E995,
-    0x19660D, 0x3C6EF35F, 0x27220A95, 0x16A88000, 0x2C9277B5, 0x297A2D39,
-    0x85EBCA6B, 0x6C62272E, 0x41C64E6D, 0x9E3779B1 % _MH_PRIME,
-]
+
+
+def _mh_constants(k: int) -> tuple[int, int]:
+    a = (0x9E3779B1 * (k + 1) + 0x7F4A7C15) % _MH_PRIME
+    b = (0x85EBCA6B * (k + 1) + k) % _MH_PRIME
+    return (a or 1), b
 
 
 def char_shingles(col: Column, n: int = 3) -> Column:
@@ -63,15 +59,15 @@ def minhash_signature(col: Column, num_hashes: int = 16) -> list[Column]:
     base = F.transform(char_shingles(col), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
     sig = []
     for k in range(num_hashes):
-        a = F.lit(_MINHASH_A[k % len(_MINHASH_A)] % _MH_PRIME)
-        b = F.lit(_MINHASH_B[k % len(_MINHASH_B)] % _MH_PRIME)
+        ak, bk = _mh_constants(k)
+        a, b = F.lit(ak), F.lit(bk)
         sig.append(
             F.array_min(F.transform(base, lambda v: F.pmod(v * a + b, F.lit(_MH_PRIME))))
         )
     return sig
 
 
-def lsh_band_keys(col: Column, bands: int = 8, rows_per_band: int = 2) -> Column:
+def lsh_band_keys(col: Column, bands: int = 8, rows_per_band: int = 1) -> Column:
     """array<string> of LSH band keys for the name column."""
     sig = minhash_signature(col, bands * rows_per_band)
     keys = []
@@ -86,7 +82,7 @@ def blocking_keys(
     name_col: str = "name",
     min_token_len: int = 2,
     bands: int = 8,
-    rows_per_band: int = 2,
+    rows_per_band: int = 1,
     use_metaphone: bool = True,
 ) -> DataFrame:
     """(key, name) pairs: one row per (blocking key, name) membership."""
@@ -123,7 +119,7 @@ def candidate_pairs(
     max_block: int = 100,
     min_token_len: int = 2,
     bands: int = 8,
-    rows_per_band: int = 2,
+    rows_per_band: int = 1,
     use_metaphone: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs (name_x < name_y) from the blocked self-join.

@@ -35,6 +35,9 @@ def stream_canonical_names(
     """Streaming turn-collapse: watermarked event-time aggregation per
     conversation; emits (conv_id, name) in append mode once the watermark
     passes (late turns inside the allowance are still included)."""
+    # Parquet sources surface TIMESTAMP_NTZ; event-time semantics need the
+    # instant type.
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     t = stream.withWatermark("ts", watermark).select(
         "conv_id",
         "ts",

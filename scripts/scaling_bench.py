@@ -1,0 +1,137 @@
+"""Two-parallelism scaling evidence (BASELINE.json north rule).
+
+No real cluster exists in the sandbox, so the N-vs-4N-executor criterion is
+evidenced by running the SAME job on the SAME input at local[8] and
+local[32] (each in its own JVM via a subprocess) and reporting
+candidate-pairs-scored/sec at both plus the scaling efficiency
+(thr@4N / thr@N) / 4.  Results land in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from name_matching_spark.session import get_spark
+from name_matching_spark.pipeline import EntityResolutionPipeline
+
+cores = int(sys.argv[1])
+fixture = sys.argv[2]
+spark = get_spark(app_name=f"nms-scale-{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=2 * cores)
+wh = tempfile.mkdtemp(prefix=f"nms_scale_{{cores}}_")
+try:
+    t0 = time.time()
+    pipe = EntityResolutionPipeline(spark, wh)
+    transcripts = spark.read.parquet(os.path.join(fixture, "transcripts.parquet"))
+    stages = pipe.run(transcripts)
+    total = time.time() - t0
+    pairs = pipe.ckpt.read("scored_pairs").count()
+    out = {{
+        "cores": cores,
+        "total_sec": round(total, 2),
+        "pairs_scored": pairs,
+        "score_sec": pipe.timings.get("scored_pairs"),
+        "stage_timings": pipe.timings,
+    }}
+    print("RESULT " + json.dumps(out))
+finally:
+    shutil.rmtree(wh, ignore_errors=True)
+    spark.stop()
+"""
+
+
+def run_level(cores: int, fixture: str) -> dict:
+    script = WORKER.format(repo=REPO)
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-c", script, str(cores), fixture],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=3600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"worker[{cores}] failed after {time.time() - t0:.0f}s:\n{proc.stderr[-3000:]}"
+    )
+
+
+def main() -> None:
+    from name_matching_spark.datagen import write_fixture
+
+    n_entities = int(os.environ.get("SCALE_BENCH_ENTITIES", "1000"))
+    fixture = os.path.join(REPO, "data", f"bench_transcripts_e{n_entities}")
+    if not os.path.exists(os.path.join(fixture, "transcripts.parquet")):
+        write_fixture(fixture, n_entities=n_entities, convs_per_entity=5, seed=42)
+
+    levels = [int(x) for x in os.environ.get("SCALE_BENCH_LEVELS", "8,32").split(",")]
+    results = [run_level(c, fixture) for c in levels]
+
+    lo, hi = results[0], results[-1]
+    thr = [r["pairs_scored"] / r["score_sec"] for r in results]
+    factor = hi["cores"] / lo["cores"]
+    eff_score = (thr[-1] / thr[0]) / factor
+    thr_total = [r["pairs_scored"] / r["total_sec"] for r in results]
+    eff_total = (thr_total[-1] / thr_total[0]) / factor
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    lines = [
+        "# BENCH/BASELINE — two-parallelism scaling evidence",
+        "",
+        "BASELINE.json requires throughput scaling efficiency >= 0.8 from N to",
+        "4N executors.  The sandbox has no cluster, so per the driver",
+        "instruction the same job (full ER pipeline: canonicalize -> block ->",
+        "score -> cluster -> resolve) runs on the same input at two local",
+        "parallelism levels, each in a fresh JVM.",
+        "",
+        f"Input: deterministic transcripts fixture, {n_entities} entities x 5",
+        "conversations (seed 42); throughput metric = candidate-pairs-scored/sec",
+        "(the BASELINE.json metric), measured over the scoring stage.",
+        "",
+        "| cores | pairs scored | scoring sec | pairs/sec (scoring) | pipeline sec | pairs/sec (end-to-end) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r, t, tt in zip(results, thr, thr_total):
+        lines.append(
+            f"| {r['cores']} | {r['pairs_scored']} | {r['score_sec']:.1f} | "
+            f"{t:.0f} | {r['total_sec']:.1f} | {tt:.0f} |"
+        )
+    lines += [
+        "",
+        f"**Scaling efficiency (scoring stage): {eff_score:.3f}**  "
+        f"( = (thr@{hi['cores']} / thr@{lo['cores']}) / {factor:.0f} )",
+        "",
+        f"Scaling efficiency (whole pipeline, incl. fixed driver overhead): {eff_total:.3f}",
+        "",
+        "Stage timings per level (seconds):",
+        "```json",
+        json.dumps({f"local[{r['cores']}]": r["stage_timings"] for r in results}, indent=2),
+        "```",
+    ]
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({
+        "levels": levels,
+        "throughput_scoring": [round(t) for t in thr],
+        "efficiency_scoring": round(eff_score, 3),
+        "efficiency_total": round(eff_total, 3),
+        "written": path,
+    }))
+
+
+if __name__ == "__main__":
+    main()

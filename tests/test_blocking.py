@@ -1,0 +1,75 @@
+"""Blocking: recall on the labeled positive pairs, purge cap, pair shape."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from name_matching_spark.model.train import POS_CSV
+from name_matching_spark.functions.normalize import preprocess_name
+from name_matching_spark.operators.blocking import block_stats, candidate_pairs
+
+
+@pytest.fixture(scope="module")
+def labeled_sample():
+    pos = pd.read_csv(POS_CSV).dropna().sample(n=1500, random_state=42)
+    pos["x"] = pos["NAME_X"].map(preprocess_name)
+    pos["y"] = pos["NAME_Y"].map(preprocess_name)
+    pos = pos[(pos.x.str.len() > 0) & (pos.y.str.len() > 0) & (pos.x != pos.y)]
+    return pos
+
+
+def test_blocking_recall_on_labeled_positives(spark, labeled_sample):
+    names = sorted(set(labeled_sample.x) | set(labeled_sample.y))
+    names_df = spark.createDataFrame([(n,) for n in names], ["name"])
+    pairs = candidate_pairs(names_df, max_block=200)
+    got = {
+        (r["name_x"], r["name_y"]) for r in pairs.collect()
+    }
+    want = {
+        (min(a, b), max(a, b)) for a, b in zip(labeled_sample.x, labeled_sample.y)
+    }
+    recall = len(want & got) / len(want)
+    assert recall >= 0.995, f"blocking recall {recall:.4f}"
+
+
+def test_blocking_pairs_canonical_and_deduped(spark):
+    names = spark.createDataFrame(
+        [("JOHN WICK",), ("JON WHICK",), ("J WICK",), ("HELEN WICK",)], ["name"]
+    )
+    pairs = candidate_pairs(names).collect()
+    seen = set()
+    for r in pairs:
+        assert r["name_x"] < r["name_y"]
+        assert (r["name_x"], r["name_y"]) not in seen
+        seen.add((r["name_x"], r["name_y"]))
+    # all four share token WICK -> all 6 pairs are candidates
+    assert len(seen) == 6
+
+
+def test_block_purge_cap(spark):
+    # 150 otherwise-dissimilar names sharing one short hot token ("LLC"):
+    # the tok:LLC block (150 names) must be purged at max_block=100,
+    # preventing the 11k-pair quadratic blow-up.
+    import random
+
+    rng = random.Random(7)
+    letters = "BCDFGHJKLMNPQRSTVWXZ"
+    rows = [
+        (
+            "".join(rng.choice(letters) for _ in range(10))
+            + " "
+            + "".join(rng.choice(letters) for _ in range(8))
+            + " LLC",
+        )
+        for _ in range(150)
+    ]
+    names = spark.createDataFrame(rows, ["name"])
+    stats = block_stats(names, max_block=100)
+    purged = {r["key"] for r in stats.where(F.col("purged")).collect()}
+    assert "tok:LLC" in purged
+    # no surviving block exceeds the cap
+    assert stats.where(~F.col("purged") & (F.col("block_size") > 100)).count() == 0
+    # residual pairs (soundex collisions of random consonant tokens) stay
+    # far below the 150*149/2 = 11,175 full quadratic
+    pairs = candidate_pairs(names, max_block=100)
+    assert pairs.count() < 6000

@@ -1,0 +1,77 @@
+"""Connected components + entity assignment semantics."""
+
+from pyspark.sql import functions as F
+
+from name_matching_spark.operators.clustering import connected_components
+from name_matching_spark.operators.resolve import entity_table, resolve_records
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        r["name"]: r["component"] for r in connected_components(df).collect()
+    }
+
+
+def test_cc_two_components(spark):
+    comp = _cc(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+
+
+def test_cc_long_chain(spark):
+    # chain of 12 nodes: exercises multi-iteration label propagation
+    edges = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(12)]
+    comp = _cc(spark, edges)
+    assert set(comp.values()) == {"n00"}
+
+
+def test_cc_partitioning_invariant(spark):
+    edges = [("a", "b"), ("c", "b"), ("d", "e"), ("e", "a"), ("p", "q")]
+    df1 = spark.createDataFrame(edges, ["src", "dst"]).repartition(7)
+    df2 = spark.createDataFrame(list(reversed(edges)), ["src", "dst"]).repartition(2)
+    c1 = {r["name"]: r["component"] for r in connected_components(df1).collect()}
+    c2 = {r["name"]: r["component"] for r in connected_components(df2).collect()}
+    assert c1 == c2
+
+
+def test_entity_table_singletons_and_longest_name(spark):
+    comps = connected_components(
+        spark.createDataFrame([("JOHN WICK", "JONATHAN WICK")], ["src", "dst"])
+    )
+    all_names = spark.createDataFrame(
+        [("JOHN WICK",), ("JONATHAN WICK",), ("HELEN WICK",)], ["name"]
+    )
+    ents = {r["name"]: r for r in entity_table(comps, all_names).collect()}
+    # longest member is the canonical resolved name
+    assert ents["JOHN WICK"]["resolved_name"] == "JONATHAN WICK"
+    assert ents["JONATHAN WICK"]["resolved_name"] == "JONATHAN WICK"
+    # singleton resolves to itself with its own key
+    assert ents["HELEN WICK"]["resolved_name"] == "HELEN WICK"
+    assert ents["HELEN WICK"]["entity_key"] == "HELEN WICK"
+    # same cluster -> same entity id
+    assert ents["JOHN WICK"]["entity_id"] == ents["JONATHAN WICK"]["entity_id"]
+
+
+def test_longest_name_lexicographic_tiebreak(spark):
+    comps = connected_components(
+        spark.createDataFrame([("AAA X", "ZZZ X")], ["src", "dst"])
+    )
+    all_names = spark.createDataFrame([("AAA X",), ("ZZZ X",)], ["name"])
+    ents = entity_table(comps, all_names).collect()
+    # equal lengths: deterministic lexicographically-larger winner
+    assert all(r["resolved_name"] == "ZZZ X" for r in ents)
+
+
+def test_resolve_records_broadcast_join(spark):
+    comps = connected_components(
+        spark.createDataFrame([("A B", "A BC")], ["src", "dst"])
+    )
+    names = spark.createDataFrame([("A B",), ("A BC",)], ["name"])
+    ents = entity_table(comps, names)
+    recs = spark.createDataFrame([("r1", "A B"), ("r2", "MISSING")], ["id", "nm"])
+    out = {r["id"]: r for r in resolve_records(recs, ents, ["nm"]).collect()}
+    assert out["r1"]["nm_resolved"] == "A BC"
+    # unknown name falls back to itself (singleton rule)
+    assert out["r2"]["nm_resolved"] == "MISSING"
+    assert out["r2"]["nm_entity_key"] == "MISSING"

@@ -1,0 +1,124 @@
+"""Dedup / similarity-search / text-analysis / multimodal operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from name_matching_spark.operators import dedup as dd
+from name_matching_spark.operators import text_analysis as ta
+from name_matching_spark.operators.multimodal import extract_features, make_media_fixture
+from name_matching_spark.operators.similarity_search import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),          # near dup
+        (3, "completely different content about spark pipelines"),
+        (4, "der hund läuft durch die stadt und ist nicht müde"),
+        (5, "a b"),                                                   # short
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r["dup_count"] for r in dd.exact_dedup(docs).collect()}
+    assert out[0] == 2          # doc 0 and 1 collapse, min id wins
+    assert 1 not in out
+    assert out[3] == 1
+
+
+def test_minhash_near_dup(docs):
+    pairs = {
+        (r["key_x"], r["key_y"])
+        for r in dd.minhash_lsh_pairs(docs, bands=8, rows_per_band=2).collect()
+    }
+    assert (0, 1) in pairs      # identical docs always collide
+    assert (0, 2) in pairs      # near dup: most shingles shared
+    assert (0, 3) not in pairs
+
+
+def test_simhash_hamming(docs):
+    sims = {r["key"]: r["simhash"] for r in dd.simhash(docs, bits=32).collect()}
+    assert sims[0] == sims[1]
+    ham_near = bin(sims[0] ^ sims[2]).count("1")
+    ham_far = bin(sims[0] ^ sims[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], ["key_x", "key_y"])
+    out = {(r["key_x"], r["key_y"]): r["jaccard"] for r in dd.ngram_jaccard_pairs(pairs, docs).collect()}
+    assert out[(0, 1)] == 1.0
+    assert out[(0, 2)] > out[(0, 3)]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(200):
+        v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    # vec 100 = near-copy of vec 0
+    base = rows[0][1]
+    rows[100] = (100, [x + 0.01 for x in base])
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk_self_and_near(emb):
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, q, k=3).collect()
+    assert out[0]["vec_id"] == 0 and out[0]["rank"] == 1
+    assert abs(out[0]["cosine"] - 1.0) < 1e-6
+    assert out[1]["vec_id"] == 100          # the planted near-copy
+
+
+def test_lsh_topk_recall(emb):
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, q, k=5)
+    approx = lsh_topk(emb, q, k=5, dim=16, bits=4, tables=6)
+    E = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    A = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(E & A) / len(E)
+    assert recall >= 0.5, f"LSH recall {recall}"
+    # self-match always lands in its own bucket
+    assert all((i, i) in A for i in range(5))
+
+
+def test_text_analysis(docs):
+    tc = {r["key"]: r for r in ta.token_count(docs).collect()}
+    assert tc[0]["n_tokens"] == 9
+    q = {r["key"]: r for r in ta.quality_score(docs).collect()}
+    assert all(0.0 <= r["quality"] <= 1.0 for r in q.values())
+    assert q[0]["stopword_ratio"] > 0
+    lang = {r["key"]: r["lang"] for r in ta.lang_id(docs).collect()}
+    assert lang[0] == "en"
+    assert lang[4] == "de"
+    fp = {r["key"]: r["fingerprint"] for r in ta.fingerprint(docs).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[3]
+
+
+def test_multimodal_plumbing(spark):
+    media = make_media_fixture(spark, n=12)
+    out = extract_features(media, dim=8).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r["feature"] is not None and len(r["feature"]) == 8
+        assert r["n_bytes"] > 0
+    # empty payload -> null feature, not a batch abort
+    from name_matching_spark.operators.multimodal import MEDIA_SCHEMA
+
+    bad = spark.createDataFrame(
+        [("x", "image", b"", "image/png", None, None, None)], MEDIA_SCHEMA
+    )
+    row = extract_features(bad).collect()[0]
+    assert row["feature"] is None

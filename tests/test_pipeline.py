@@ -1,0 +1,121 @@
+"""End-to-end pipeline tests: golden txns cluster parity, synthetic
+transcripts cluster agreement, checkpoint resume."""
+
+import os
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from name_matching_spark.datagen import write_fixture
+from name_matching_spark.functions.normalize import normalize_text_col
+from name_matching_spark.model.train import load_artifacts
+from name_matching_spark.operators.blocking import candidate_pairs
+from name_matching_spark.operators.clustering import connected_components
+from name_matching_spark.operators.resolve import entity_table
+from name_matching_spark.operators.scoring import score_pairs
+from name_matching_spark.pipeline import EntityResolutionPipeline
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+GOLDEN_CLUSTERS = [
+    # data/golden_resolved_txns.csv (reference entity_resolution.py output)
+    {"JOHN WICK", "JONATHAN WICK", "JON WHICK", "J WICK"},
+    {"CONTINENTAL HOTEL", "HOTEL CONTINENTAL", "HOTEL CONT L"},
+    {"WINSTON SCOTT", "W SCOTT", "WIN SCOTT", "SCOTT WINSTON"},
+    {"HELEN WICK"},
+]
+
+
+def test_golden_txns_clusters(spark):
+    """Reproduce the reference's resolved_txns.csv entity groupings."""
+    model, tfidf = load_artifacts()
+    txn = spark.read.option("header", True).csv(os.path.join(REPO, "data/sample_txns.csv"))
+    txn = txn.toDF(*[c.strip("﻿") for c in txn.columns])
+    names = (
+        txn.select(normalize_text_col(F.col("Cust_Name"), upper=True).alias("name"))
+        .union(txn.select(normalize_text_col(F.col("Counterpart_Name"), upper=True)))
+        .distinct()
+    )
+    pairs = candidate_pairs(names)
+    scored = score_pairs(pairs, model.to_json(), tfidf.to_json(), threshold=0.85)
+    comps = connected_components(
+        scored.where("prediction = 1").selectExpr("name_x as src", "name_y as dst")
+    )
+    ents = entity_table(comps, names)
+    clusters = defaultdict(set)
+    for r in ents.collect():
+        clusters[r["entity_key"]].add(r["name"])
+    got = sorted(
+        (frozenset(v) for v in clusters.values()), key=lambda s: sorted(s)[0]
+    )
+    want = sorted((frozenset(s) for s in GOLDEN_CLUSTERS), key=lambda s: sorted(s)[0])
+    assert got == want
+    # canonical names: longest member (lexicographic tiebreak pinned)
+    resolved = {r["entity_key"]: r["resolved_name"] for r in ents.collect()}
+    assert "JONATHAN WICK" in resolved.values()
+    assert "HOTEL CONTINENTAL" in resolved.values()
+
+
+@pytest.mark.slow
+def test_synthetic_fixture_cluster_agreement(spark, tmp_path):
+    fixture = str(tmp_path / "fixture")
+    write_fixture(fixture, n_entities=60, convs_per_entity=4, seed=123)
+    wh = str(tmp_path / "warehouse")
+    pipe = EntityResolutionPipeline(spark, wh)
+    transcripts = spark.read.parquet(os.path.join(fixture, "transcripts.parquet"))
+    stages = pipe.run(transcripts)
+    res = stages["resolved_conversations"].select("conv_id", "name_entity_key")
+    truth = spark.read.parquet(os.path.join(fixture, "truth.parquet"))
+    rows = res.join(truth, "conv_id").collect()
+    pred, true = defaultdict(set), defaultdict(set)
+    for r in rows:
+        pred[r["name_entity_key"]].add(r["conv_id"])
+        true[r["entity_id"]].add(r["conv_id"])
+
+    def pair_set(cl):
+        out = set()
+        for members in cl.values():
+            ms = sorted(members)
+            out.update((ms[i], ms[j]) for i in range(len(ms)) for j in range(i + 1, len(ms)))
+        return out
+
+    P, T = pair_set(pred), pair_set(true)
+    tp = len(P & T)
+    prec = tp / max(len(P), 1)
+    rec = tp / max(len(T), 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+    print(f"cluster agreement: precision={prec:.4f} recall={rec:.4f} F1={f1:.4f}")
+    assert f1 >= 0.9, f"cluster pairwise F1 {f1:.4f}"
+    assert rec >= 0.95
+
+
+@pytest.mark.slow
+def test_checkpoint_resume(spark, tmp_path):
+    fixture = str(tmp_path / "fx")
+    write_fixture(fixture, n_entities=20, convs_per_entity=3, seed=99)
+    wh = str(tmp_path / "wh")
+    transcripts = spark.read.parquet(os.path.join(fixture, "transcripts.parquet"))
+    p1 = EntityResolutionPipeline(spark, wh)
+    first = p1.run(transcripts)
+    ents1 = sorted(
+        (r["name"], r["entity_key"]) for r in first["entities"].collect()
+    )
+    # Second run resumes: every stage must come from checkpoint (manifest
+    # present), results identical.
+    p2 = EntityResolutionPipeline(spark, wh)
+    for stage in ["conversations", "names", "candidate_pairs", "scored_pairs",
+                  "components", "entities", "resolved_conversations"]:
+        assert p2.ckpt.is_complete(stage), stage
+    second = p2.run(transcripts)
+    ents2 = sorted(
+        (r["name"], r["entity_key"]) for r in second["entities"].collect()
+    )
+    assert ents1 == ents2
+    # lineage manifests carry per-partition row counts
+    import json
+
+    with open(p2.ckpt.manifest_path("entities")) as f:
+        man = json.load(f)
+    assert man["rows"] == len(ents2)
+    assert man["partitions"] and all("rows" in p for p in man["partitions"])

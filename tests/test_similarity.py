@@ -1,0 +1,98 @@
+"""Kernel-level tests for the similarity feature functions, mirroring the
+reference's behavioral/range expectations
+(tests/unit_tests/test_build_features.py:34-118,
+test_predict_model.py:232-254 in vietexob/name-matching)."""
+
+import numpy as np
+
+from name_matching_spark.functions import similarity as sim
+from name_matching_spark.functions.features import FEATURE_COLS, build_features
+from name_matching_spark.functions.tfidf import TfidfModel
+
+
+def test_levenshtein_basics():
+    assert sim.levenshtein("kitten", "sitting") == 3
+    assert sim.levenshtein("", "") == 0
+    assert sim.levenshtein("abc", "") == 3
+    assert sim.levenshtein("", "abc") == 3
+    assert sim.levenshtein("same", "same") == 0
+    assert list(sim.levenshtein_batch(["ab", "JOHN"], ["ba", "JOHN"])) == [2, 0]
+
+
+def test_ratio_unstripped_denominator():
+    # Reference strips before the distance but uses unstripped lengths
+    # (build_features.py:20-41): " AB" vs "AB" -> lev=0, denom=3.
+    out = sim.ratio_batch([" AB"], ["AB"])
+    assert abs(out[0] - 1.0) < 1e-12  # lev(strip)=0 -> 1 - 0/3 = 1.0
+    out = sim.ratio_batch(["ABCD"], ["ABXD"])
+    assert abs(out[0] - 0.75) < 1e-12
+
+
+def test_jaccard_list_length_denominator():
+    # commons=1 ({'a'}), len list x=3 (a a b? no: 'a a'), exercise duplicates:
+    # x='a a' tokens [a,a], y='a b' tokens [a,b]; commons={'a'} ->
+    # 1 / (2 + 2 - 1) = 1/3 (reference uses LIST lengths).
+    assert abs(sim.jaccard("a a", "a b") - 1 / 3) < 1e-12
+    assert sim.jaccard("", "x") == 0.0
+    assert sim.jaccard("x y", "z w") == 0.0
+    assert sim.jaccard("JOHN WICK", "WICK JOHN") == 1.0
+
+
+def test_partial_ratio_scale_and_bounds():
+    out = sim.partial_ratio_batch(["WICK", "JOHN WICK", ""], ["JOHN WICK", "JOHN WICK", "X"])
+    assert out.dtype == np.int64
+    assert out[0] == 100  # exact substring
+    assert out[1] == 100  # identical
+    assert out[2] == 0    # empty side
+    assert all(0 <= v <= 100 for v in out)
+
+
+def test_jaro_winkler_known_values():
+    assert abs(sim.jaro_winkler("MARTHA", "MARHTA") - 0.9611) < 1e-3
+    assert sim.jaro_winkler("SAME", "SAME") == 1.0
+    assert sim.jaro_winkler("", "ABC") == 0.0
+    assert abs(sim.jaro_winkler("DIXON", "DICKSONX") - 0.8133) < 1e-3
+
+
+def test_monge_elkan_symmetric():
+    a = sim.monge_elkan_jw("JOHN WICK", "WICK JONATHAN")
+    b = sim.monge_elkan_jw("WICK JONATHAN", "JOHN WICK")
+    assert abs(a - b) < 1e-12
+    assert sim.monge_elkan_jw("A B", "A B") == 1.0
+
+
+def test_token_weakest_link():
+    assert sim.token_weakest_link("J WICK", "JOHN WICK") == 1.0        # initial
+    assert sim.token_weakest_link("WIN SCOTT", "WINSTON SCOTT") == 1.0  # prefix
+    assert sim.token_weakest_link("P FITZGERALD", "Y FITZGERALD") == 0.0
+    assert sim.token_weakest_link("JOHN DOE", "DOE JOHN") == 1.0        # swap
+    weak = sim.token_weakest_link("MARIANNE MALDONADO", "MONIQUE MALDONADO")
+    assert weak < 0.75
+
+
+def test_core_ratio_strips_designators():
+    out = sim.core_ratio_batch(["APPLE INC"], ["APPLE CORPORATION"])
+    assert out[0] == 1.0  # both cores reduce to APPLE; denom = max raw len? no:
+    # core strings are "APPLE"/"APPLE": lev=0 -> 1 - 0/denom = 1.0
+
+
+def test_ngram_cosine_bounds():
+    out = sim.ngram_cosine_batch(["JOHN WICK", "", "AB"], ["JOHN WICK", "X", "AB"])
+    assert abs(out[0] - 1.0) < 1e-6
+    assert out[1] == 0.0
+    assert abs(out[2] - 1.0) < 1e-6
+    assert all(0.0 <= v <= 1.0 for v in out)
+
+
+def test_feature_matrix_contract():
+    tfidf = TfidfModel.fit(["john wick", "jane doe"])
+    X = build_features(["JOHN WICK", "JANE DOE"], ["JON WHICK", "JANE M DOE"], tfidf)
+    assert X.shape == (2, len(FEATURE_COLS))
+    cols = dict(zip(FEATURE_COLS, X.T))
+    # Range invariants (reference test_predict_model.py:232-254).
+    for name in ["jaccard_sim", "cosine_sim", "ratio", "sorted_token_ratio",
+                 "token_set_ratio", "emb_distance", "jaro_winkler",
+                 "monge_elkan_jw", "core_ratio", "token_weakest_link"]:
+        assert all(0.0 <= v <= 1.0 for v in cols[name]), name
+    assert all(0 <= v <= 100 for v in cols["partial_ratio"])
+    assert all(v >= 0 for v in cols["len_diff"])
