@@ -39,18 +39,21 @@ def build_features(xs, ys, tfidf: TfidfModel) -> np.ndarray:
     """
     xs = list(xs)
     ys = list(ys)
+    # One edit-distance memo per batch: the four ratio variants and the
+    # partial-ratio windows repeat many identical string pairs.
+    memo: dict = {}
     cols = [
         sim.jaccard_batch(xs, ys),
         tfidf.cosine_pairs(xs, ys),
-        sim.ratio_batch(xs, ys),
-        sim.sorted_token_ratio_batch(xs, ys),
-        sim.token_set_ratio_batch(xs, ys),
-        sim.partial_ratio_batch(xs, ys).astype(np.float64),
+        sim.ratio_batch(xs, ys, memo=memo),
+        sim.sorted_token_ratio_batch(xs, ys, memo=memo),
+        sim.token_set_ratio_batch(xs, ys, memo=memo),
+        sim.partial_ratio_batch(xs, ys, memo=memo).astype(np.float64),
         sim.ngram_cosine_batch(xs, ys),
         sim.len_diff_batch(xs, ys).astype(np.float64),
         sim.jaro_winkler_batch(xs, ys),
         sim.monge_elkan_jw_batch(xs, ys),
-        sim.core_ratio_batch(xs, ys),
-        sim.token_weakest_link_batch(xs, ys),
+        sim.core_ratio_batch(xs, ys, memo=memo),
+        sim.token_weakest_link_batch(xs, ys, memo=memo),
     ]
     return np.column_stack(cols)

@@ -50,15 +50,10 @@ def encode_batch(strs) -> tuple[np.ndarray, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
-def levenshtein_batch(xs, ys) -> np.ndarray:
-    """Edit distances for aligned batches of strings.
-
-    DP rows are advanced for the whole batch at once; the inner loops run
-    over character positions (bounded by max name length), not rows.
-    """
+def _lev_core(xs, ys) -> np.ndarray:
+    """Batched Wagner-Fischer: DP rows advanced for the whole sub-batch at
+    once; inner loops run over character positions, not rows."""
     n = len(xs)
-    if n == 0:
-        return np.zeros(0, dtype=np.int32)
     A, la = encode_batch(xs)
     B, lb = encode_batch(ys)
     La, Lb = int(la.max()), int(lb.max())
@@ -80,6 +75,43 @@ def levenshtein_batch(xs, ys) -> np.ndarray:
     return result
 
 
+def levenshtein_batch(xs, ys, chunk: int = 8192, memo: dict | None = None) -> np.ndarray:
+    """Edit distances for aligned batches of strings.
+
+    The core DP costs max_len_a x max_len_b numpy steps per sub-batch, so
+    pairs are (a) short-circuited when equal, (b) served from the optional
+    cross-call ``memo`` (the scorer's four ratio variants largely repeat
+    the same pairs), (c) sorted by size and chunked so one long outlier
+    cannot inflate the DP grid for the whole batch.
+    """
+    n = len(xs)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    result = np.zeros(n, dtype=np.int32)
+    todo = []
+    for k in range(n):
+        x, y = xs[k], ys[k]
+        if x == y:
+            continue
+        if memo is not None:
+            hit = memo.get((x, y))
+            if hit is not None:
+                result[k] = hit
+                continue
+        todo.append(k)
+    if not todo:
+        return result
+    todo.sort(key=lambda k: len(xs[k]) * len(ys[k]))
+    for s in range(0, len(todo), chunk):
+        part = todo[s : s + chunk]
+        out = _lev_core([xs[k] for k in part], [ys[k] for k in part])
+        result[part] = out
+        if memo is not None:
+            for k, v in zip(part, out):
+                memo[(xs[k], ys[k])] = int(v)
+    return result
+
+
 def levenshtein(x: str, y: str) -> int:
     """Single-pair convenience twin (tests, driver-side tooling)."""
     return int(levenshtein_batch([x], [y])[0])
@@ -90,7 +122,7 @@ def levenshtein(x: str, y: str) -> int:
 # ---------------------------------------------------------------------------
 
 
-def ratio_batch(xs, ys) -> np.ndarray:
+def ratio_batch(xs, ys, memo: dict | None = None) -> np.ndarray:
     """1 - lev(strip(x), strip(y)) / max(len(x), len(y), 1).
 
     NB the reference strips before the edit distance but uses the
@@ -98,7 +130,7 @@ def ratio_batch(xs, ys) -> np.ndarray:
     """
     sx = [s.strip() for s in xs]
     sy = [s.strip() for s in ys]
-    lev = levenshtein_batch(sx, sy).astype(np.float64)
+    lev = levenshtein_batch(sx, sy, memo=memo).astype(np.float64)
     denom = np.maximum(
         np.fromiter((len(s) for s in xs), dtype=np.int64, count=len(xs)),
         np.fromiter((len(s) for s in ys), dtype=np.int64, count=len(ys)),
@@ -115,13 +147,17 @@ def sort_distinct_tokens(s: str) -> str:
     return " ".join(sorted(set(s.split())))
 
 
-def sorted_token_ratio_batch(xs, ys) -> np.ndarray:
-    return ratio_batch([sort_tokens(s) for s in xs], [sort_tokens(s) for s in ys])
-
-
-def token_set_ratio_batch(xs, ys) -> np.ndarray:
+def sorted_token_ratio_batch(xs, ys, memo: dict | None = None) -> np.ndarray:
     return ratio_batch(
-        [sort_distinct_tokens(s) for s in xs], [sort_distinct_tokens(s) for s in ys]
+        [sort_tokens(s) for s in xs], [sort_tokens(s) for s in ys], memo=memo
+    )
+
+
+def token_set_ratio_batch(xs, ys, memo: dict | None = None) -> np.ndarray:
+    return ratio_batch(
+        [sort_distinct_tokens(s) for s in xs],
+        [sort_distinct_tokens(s) for s in ys],
+        memo=memo,
     )
 
 
@@ -156,7 +192,7 @@ def jaccard_batch(xs, ys) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def partial_ratio_batch(xs, ys, max_windows: int = 64) -> np.ndarray:
+def partial_ratio_batch(xs, ys, max_windows: int = 64, memo: dict | None = None) -> np.ndarray:
     """Best sliding-window similarity of the shorter string against
     equal-length substrings of the longer, on the reference's 0-100 int
     scale: ``round(100 * max_w (1 - lev(short, w)/len(short)))``.
@@ -190,7 +226,7 @@ def partial_ratio_batch(xs, ys, max_windows: int = 64) -> np.ndarray:
             seg.append(k)
     if not shorts:
         return result
-    lev = levenshtein_batch(shorts, windows).astype(np.float64)
+    lev = levenshtein_batch(shorts, windows, memo=memo).astype(np.float64)
     mlen = np.fromiter((len(s) for s in shorts), dtype=np.float64, count=len(shorts))
     sims = 1.0 - lev / np.maximum(mlen, 1.0)
     seg = np.asarray(seg)
@@ -357,9 +393,11 @@ def strip_legal_suffixes(s: str) -> str:
     return " ".join(tokens) if tokens else s
 
 
-def core_ratio_batch(xs, ys) -> np.ndarray:
+def core_ratio_batch(xs, ys, memo: dict | None = None) -> np.ndarray:
     return ratio_batch(
-        [strip_legal_suffixes(s) for s in xs], [strip_legal_suffixes(s) for s in ys]
+        [strip_legal_suffixes(s) for s in xs],
+        [strip_legal_suffixes(s) for s in ys],
+        memo=memo,
     )
 
 
@@ -404,7 +442,7 @@ def token_weakest_link(x: str, y: str) -> float:
     return worst
 
 
-def token_weakest_link_batch(xs, ys) -> np.ndarray:
+def token_weakest_link_batch(xs, ys, memo: dict | None = None) -> np.ndarray:  # noqa: ARG001 — uniform signature
     return np.fromiter(
         (token_weakest_link(x, y) for x, y in zip(xs, ys)),
         dtype=np.float64,

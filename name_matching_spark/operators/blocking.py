@@ -50,31 +50,43 @@ def char_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(col: Column, num_hashes: int = 16) -> list[Column]:
-    """MinHash signature columns over char-3-gram shingles, all native.
+def minhash_signature(col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature (array<long> Column) over char-3-gram shingles.
 
     h_k(s) = (a_k * x + b_k) mod p with x = xxhash64(shingle) mod p and
     p = 2^31-1: the classic universal family, overflow-free in int64.
     """
     base = F.transform(char_shingles(col), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
-    sig = []
-    for k in range(num_hashes):
-        ak, bk = _mh_constants(k)
-        a, b = F.lit(ak), F.lit(bk)
-        sig.append(
-            F.array_min(F.transform(base, lambda v: F.pmod(v * a + b, F.lit(_MH_PRIME))))
-        )
-    return sig
+    # Single aggregate pass holding all K mins (separate array_min exprs
+    # would re-inline the base array K times — no cross-expression CSE).
+    consts = [_mh_constants(k) for k in range(num_hashes)]
+    init = F.array(*[F.lit(_MH_PRIME).cast("long")] * num_hashes)
+
+    def step(acc, v):
+        cand = F.array(*[F.pmod(v * F.lit(a) + F.lit(b), F.lit(_MH_PRIME)) for a, b in consts])
+        return F.zip_with(acc, cand, lambda x, c: F.least(x, c))
+
+    return F.aggregate(base, init, step)
+
+
+def lsh_band_keys_from_sig(sig: Column, bands: int = 8, rows_per_band: int = 1) -> Column:
+    """array<string> of LSH band keys from a *materialized* signature
+    column.  Callers must bind the signature with ``withColumn`` first —
+    passing the raw expression would re-inline the whole MinHash aggregate
+    once per band (CollapseProject does not duplicate expensive
+    expressions referenced through a named column, which is exactly the
+    behavior this two-step shape relies on)."""
+    keys = []
+    for b in range(bands):
+        band = [sig[b * rows_per_band + r] for r in range(rows_per_band)]
+        keys.append(F.concat_ws(":", F.lit(f"lsh{b}"), F.hash(*band).cast("string")))
+    return F.array(*keys)
 
 
 def lsh_band_keys(col: Column, bands: int = 8, rows_per_band: int = 1) -> Column:
-    """array<string> of LSH band keys for the name column."""
+    """Convenience single-expression form (fine for small inputs/tests)."""
     sig = minhash_signature(col, bands * rows_per_band)
-    keys = []
-    for b in range(bands):
-        band = sig[b * rows_per_band : (b + 1) * rows_per_band]
-        keys.append(F.concat_ws(":", F.lit(f"lsh{b}"), F.hash(*band).cast("string")))
-    return F.array(*keys)
+    return lsh_band_keys_from_sig(sig, bands, rows_per_band)
 
 
 def blocking_keys(
@@ -106,7 +118,11 @@ def blocking_keys(
         )
 
     lsh = (
-        names.withColumn("_lsh", lsh_band_keys(c, bands=bands, rows_per_band=rows_per_band))
+        names.withColumn("_sig", minhash_signature(c, bands * rows_per_band))
+        .withColumn(
+            "_lsh",
+            lsh_band_keys_from_sig(F.col("_sig"), bands=bands, rows_per_band=rows_per_band),
+        )
         .select(F.explode("_lsh").alias("key"), c.alias("name"))
         .select("key", "name")
     )

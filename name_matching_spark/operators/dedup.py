@@ -86,18 +86,18 @@ def minhash_signatures(
     int64 arithmetic in both engines."""
     sh = word_shingles(F.col(text_col), shingle_n)
     base = F.transform(sh, lambda s: _md5_int28(s))
+    # One aggregate pass maintaining all K mins at once: K separate
+    # array_min(transform(...)) expressions would re-inline (and re-md5)
+    # the base array K times — Catalyst does not CSE across them.
+    init = F.array(*[F.lit(_MERSENNE31).cast("long")] * num_hashes)
 
-    def _affine(a: int, b: int):
-        # Single-arg lambda: F.transform treats a second parameter as the
-        # element index, so constants must be closed over, not defaulted.
-        return lambda v: (v * a + b) % _MERSENNE31
+    def step(acc, v):
+        cand = F.array(
+            *[(v * _MH[k][0] + _MH[k][1]) % _MERSENNE31 for k in range(num_hashes)]
+        )
+        return F.zip_with(acc, cand, lambda a, c: F.least(a, c))
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform(base, _affine(*_MH[k])))
-            for k in range(num_hashes)
-        ]
-    )
+    sig = F.aggregate(base, init, step)
     return docs.select(F.col(key_col).alias("key"), sig.alias("sig"))
 
 

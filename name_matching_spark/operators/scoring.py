@@ -48,11 +48,25 @@ def _artifacts(model_json: str, tfidf_json: str):
     return hit
 
 
-def make_scorer_udf(model_json: str, tfidf_json: str):
+def make_scorer_udf(model_json: str, tfidf_json: str, spark=None):
+    """Build the scorer UDF.  When a SparkSession is supplied the artifact
+    JSON travels as a real broadcast (shipped once per executor); otherwise
+    it rides the task closure (fine for small jobs/tests)."""
+    if spark is not None:
+        bc = spark.sparkContext.broadcast((model_json, tfidf_json))
+
+        def _get():
+            return _artifacts(*bc.value)
+
+    else:
+
+        def _get():
+            return _artifacts(model_json, tfidf_json)
+
     def _score(
         it: Iterator[tuple[pd.Series, pd.Series]],
     ) -> Iterator[pd.DataFrame]:
-        model, tfidf = _artifacts(model_json, tfidf_json)
+        model, tfidf = _get()
         for xs, ys in it:
             lx = xs.fillna("").tolist()
             ly = ys.fillna("").tolist()
@@ -80,7 +94,7 @@ def score_pairs(
     (the reference's batch path drops such rows to error records,
     predict_model.py:243-289 — here they simply cannot reach threshold).
     """
-    scorer = make_scorer_udf(model_json, tfidf_json)
+    scorer = make_scorer_udf(model_json, tfidf_json, spark=pairs.sparkSession)
     scored = pairs.withColumn("_s", scorer(F.col(name_x), F.col(name_y)))
     prob = F.round(F.col("_s.probability"), 4)
     valid = (F.length(F.coalesce(F.col(name_x), F.lit(""))) > 0) & (

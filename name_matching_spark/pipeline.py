@@ -99,10 +99,17 @@ class EntityResolutionPipeline:
             lambda: block_stats(names, max_block=self.max_block),
             inputs=["names"],
         )
+        # Repartition before the Arrow-UDF scorer: the checkpointed pair
+        # table is small on disk and AQE would coalesce it to a few
+        # partitions, starving the (CPU-bound) scorer of parallelism.
+        n_part = self.spark.sparkContext.defaultParallelism * 2
         scored = self._stage(
             "scored_pairs",
             lambda: score_pairs(
-                pairs, self._model_json, tfidf_json, threshold=self.threshold
+                pairs.repartition(n_part),
+                self._model_json,
+                tfidf_json,
+                threshold=self.threshold,
             ),
             inputs=["candidate_pairs", "tfidf"],
         )
