@@ -136,7 +136,15 @@ def generate_entities(n_entities: int = 200, seed: int = 42) -> pd.DataFrame:
                     )
                 full, ent_type = f"{first} {last}", "PERS"
             else:
-                core = _ORG_CORE[int(rng.integers(0, len(_ORG_CORE)))]
+                if rng.random() < 0.5:
+                    core = _ORG_CORE[int(rng.integers(0, len(_ORG_CORE)))]
+                else:
+                    # Synthesized cores keep the org namespace collision-free
+                    # at large entity counts (the fixed pool is 29x7 combos).
+                    core = "".join(
+                        syllables[int(rng.integers(0, len(syllables)))]
+                        for _ in range(int(rng.integers(2, 4)))
+                    )
                 kind = _ORG_KIND[int(rng.integers(0, len(_ORG_KIND)))]
                 full, ent_type = f"{core} {kind}", "ORGA"
             if full not in used:

@@ -26,8 +26,10 @@ from name_matching_spark.functions.tfidf import TfidfModel
 from name_matching_spark.model.gbm import GBMClassifier
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-DATA_DIR = os.path.join(REPO_ROOT, "data")
-MODEL_DIR = os.path.join(REPO_ROOT, "models")
+# Overridable for cluster deployment (--py-files ships the package as a
+# zip, so __file__-relative paths only hold on a dev checkout).
+DATA_DIR = os.environ.get("NMS_DATA_DIR", os.path.join(REPO_ROOT, "data"))
+MODEL_DIR = os.environ.get("NMS_MODEL_DIR", os.path.join(REPO_ROOT, "models"))
 POS_CSV = os.path.join(DATA_DIR, "name_matching_pos_pairs.csv")
 NEG_CSV = os.path.join(DATA_DIR, "name_matching_neg_pairs.csv")
 MODEL_PATH = os.path.join(MODEL_DIR, "match_gbm.json")
@@ -177,8 +179,22 @@ def train(
     return metrics
 
 
+def _resolve(path: str) -> str:
+    """Resolve an artifact path robustly: as given, else relative to the
+    cwd (the spark-submit case, where the package loads from a --py-files
+    zip and __file__-derived paths point inside the archive)."""
+    if os.path.exists(path):
+        return path
+    alt = os.path.join(os.getcwd(), "models", os.path.basename(path))
+    if os.path.exists(alt):
+        return alt
+    return path
+
+
 def load_artifacts(model_path: str = MODEL_PATH, tfidf_path: str = TFIDF_PATH):
     """Load (model, tfidf); train on the fly if artifacts are absent."""
+    model_path = _resolve(model_path)
+    tfidf_path = _resolve(tfidf_path)
     if not (os.path.exists(model_path) and os.path.exists(tfidf_path)):
         train(verbose=False)
     with open(model_path) as f:
@@ -189,6 +205,7 @@ def load_artifacts(model_path: str = MODEL_PATH, tfidf_path: str = TFIDF_PATH):
 
 
 def load_train_corpus(path: str = CORPUS_PATH) -> list[str]:
+    path = _resolve(path)
     if not os.path.exists(path):
         train(verbose=False)
     with open(path) as f:

@@ -45,11 +45,16 @@ class EntityResolutionPipeline:
         threshold: float = 0.85,
         max_block: int = 100,
         run_id: str | None = None,
+        keep_features: bool = False,
     ):
         self.spark = spark
         self.ckpt = CheckpointManager(spark, warehouse, run_id)
         self.threshold = threshold
         self.max_block = max_block
+        # keep_features=True persists all 12 per-pair feature columns in the
+        # scored_pairs checkpoint (debugging/analysis); default off — at
+        # scale it multiplies the Arrow + parquet volume 13x.
+        self.keep_features = keep_features
         model, _ = load_artifacts()
         self._model_json = model.to_json()
         self.timings: dict[str, float] = {}
@@ -110,6 +115,7 @@ class EntityResolutionPipeline:
                 self._model_json,
                 tfidf_json,
                 threshold=self.threshold,
+                keep_features=self.keep_features,
             ),
             inputs=["candidate_pairs", "tfidf"],
         )

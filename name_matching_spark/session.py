@@ -12,13 +12,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _tune_malloc_env() -> None:
+    """glibc malloc tuning inherited by the JVM and its Python UDF workers
+    (must run before the JVM starts).  The numpy kernels allocate MB-sized
+    temporaries per Arrow batch; default thresholds hand those straight to
+    mmap/munmap, and at 32 concurrent workers the resulting page-fault storm
+    shows up as ~70% system time.  Keeping big allocations on the heap
+    (high mmap/trim thresholds) removes it."""
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_ARENA_MAX", "2")
+
+
 def get_spark(
     app_name: str = "name-matching-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 10_000,
+    arrow_batch_rows: int = 20_000,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    _tune_malloc_env()
     master = master or os.environ.get("SPARK_MASTER", "local[*]")
     if shuffle_partitions is None:
         # Default: 2x the parallelism hint in local[N]; a real cluster sets
