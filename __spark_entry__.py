@@ -2,10 +2,58 @@
 
 Every operator from SURVEY.md §2 (plus the corpus-scale dedup / ANN /
 text-analysis extras) is exposed as a ``queries()`` entry with a matching
-DuckDB ``oracle_sql()`` where the semantics are SQL-expressible.  Keys are
-prefixed with the SURVEY operator ids (s=scan, p=projection/filter, j=join,
-a=aggregate, o=sort, u=set-op, f=feature, m=model/cluster, d=dedup,
-ann=similarity-search, t=text-analysis, mm=multimodal, er=pipeline).
+DuckDB ``oracle_sql()`` where the semantics are SQL-expressible.
+
+SURVEY §2 coverage map (operator id -> where it is exercised):
+
+  S1  CSV scan + NA-drop + dedup      -> s1_scan_dedup
+  S2  labeled-pair scan               -> model/train.py (load_labeled_pairs; gate test)
+  S3  transcript table scan           -> pipeline.py + a7_turn_collapse (events stand-in)
+  S4  sink / per-stage checkpoints    -> io/checkpoint.py (tests/test_pipeline.py resume test)
+  S5  model artifact load/save        -> model/train.py JSON artifacts + broadcast (er_score_pairs)
+  S6  REST serving                    -> replaced by batch scorer per north star; incremental
+                                         path = streaming/stream_resolve.py (tests)
+  S7  LLM/Faker data generators       -> replaced by datagen.py (deterministic, offline)
+  P1  process_text_standard           -> p1_normalize_text (+ byte-parity tests)
+  P2  uppercasing                     -> p2_upper
+  P3  numeric-token remove/extract    -> p3_numeric_extract (+ python twin tests)
+  P4  empty-name validation           -> p4_validate_names
+  P5  match filter (prediction=1)     -> m3_threshold_decision + pipeline matches stage
+  P6  self-loop filter                -> inside m5_edges_canonical (src != dst)
+  P7  entity-type partition           -> p7_partition_filter
+  J1  all-pairs self join             -> j1_block_pairs (+ operators/blocking.py, er pipeline)
+  J2  hard-negative top-n             -> j2_topn_per_key
+  J3  entity-id assignment            -> j3_entity_assign (+ operators/resolve.py tests)
+  J4  resolved-name lookup            -> j4_broadcast_lookup (+ resolve_records broadcast join)
+  A1  distinct union of name columns  -> a1_distinct_union
+  A2  pair dedup                      -> a2_pair_dedup
+  A3  count/metrics                   -> a3_stage_counts (+ checkpoint metrics tables)
+  A4  max-by longest name             -> a4_max_by_longest (+ entity_table canonical name)
+  A5  max entity id                   -> a5_max_id
+  A6  TF-IDF vocabulary fit           -> a6_tfidf_vocab (+ TfidfModel.fit_spark tests)
+  A7  turn collapse (graft)           -> a7_turn_collapse (+ canonicalize tests)
+  O1  token sort                      -> o1_token_sort
+  O2  top-n by metric                 -> o2_topk
+  O3  head/sample                     -> trivial (limit; used throughout)
+  U1  union all                       -> u1_union_all
+  U2  token-set intersection          -> u2_token_intersect
+  U3  index-set difference            -> left-anti join in entity_table singletons (tests)
+  F1-F8 similarity features           -> f1_jaccard, f3_ratio_levenshtein (native twins);
+                                         full 12-feature vector in er_score_pairs +
+                                         functions/similarity.py unit tests + F1 gate
+  M1  train classifier                -> model/train.py (gate test replays labeled pairs)
+  M2  probability scoring             -> er_score_pairs (Arrow UDF + broadcast model)
+  M3  threshold rule (>= 0.85)        -> m3_threshold_decision + scorer prediction col
+  M4  probability rounding (4dp)      -> inside scorer (probability col) + m3 oracle
+  M5  match-graph build               -> m5_edges_canonical
+  M6  clustering                      -> m6_connected_components (recursive-CTE oracle)
+  M7  singleton entities              -> entity_table left-anti (tests/test_clustering.py)
+  M8  resolved-edge graph             -> m5 + P6 composition (golden-cluster test)
+  M9  visualizations                  -> not ported (metrics tables instead, per SURVEY)
+
+Corpus-scale extras: d1 exact dedup, d2/d2b MinHash-LSH, d3 SimHash,
+d4 n-gram Jaccard, d5 embedding cosine, ann1 brute-force top-k,
+ann2 LSH ANN, t1-t4 text analysis, mm1 multimodal plumbing.
 """
 
 from __future__ import annotations
