@@ -151,12 +151,16 @@ def train(
     )
 
     os.makedirs(MODEL_DIR, exist_ok=True)
-    with open(MODEL_PATH, "w") as f:
-        f.write(model.to_json())
-    with open(TFIDF_PATH, "w") as f:
-        f.write(tfidf.to_json())
-    with open(CORPUS_PATH, "w") as f:
-        json.dump(corpus, f)
+
+    def _atomic_write(path: str, payload: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, path)  # readers never observe a partial artifact
+
+    _atomic_write(MODEL_PATH, model.to_json())
+    _atomic_write(TFIDF_PATH, tfidf.to_json())
+    _atomic_write(CORPUS_PATH, json.dumps(corpus))
     metrics = {
         "rows": int(len(y)),
         "positives": int(y.sum()),

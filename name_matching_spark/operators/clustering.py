@@ -53,6 +53,7 @@ def connected_components(
         .withColumn("component", F.col("name"))
         .localCheckpoint()
     )
+    retired = [e]
     for _ in range(max_iterations):
         # Candidate label for each node: min over neighbors' labels and its own.
         cand = (
@@ -70,7 +71,16 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # The previous iteration's checkpoint blocks are dead once `cand`
+        # is materialized (localCheckpoint is eager) — free them, or the
+        # accumulated cache degrades the rest of the session.
+        retired.append(labels)
         labels = cand
         if changed == 0:
             break
+    for df in retired:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
     return labels
