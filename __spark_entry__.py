@@ -213,9 +213,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return o.union(c).distinct()
 
     def a2_pair_dedup(spark, sf):
+        # Deterministic dedup: keep the min-linenumber row per pair
+        # (dropDuplicates keeps an arbitrary row — fine semantically, but
+        # not value-hash-comparable against an oracle).
         li = _t(spark, sf, "lineitem")
+        w = Window.partitionBy("l_orderkey", "l_partkey").orderBy("l_linenumber")
         return (
-            li.dropDuplicates(["l_orderkey", "l_partkey"])
+            li.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
             .groupBy("l_returnflag")
             .agg(F.count("*").alias("n"))
         )
@@ -473,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             a.crossJoin(b)
             .where(F.col("a.name") < F.col("b.name"))
             .select(F.col("a.name").alias("name_x"), F.col("b.name").alias("name_y"))
+            .orderBy("name_x", "name_y")
             .limit(2000)
         )
         return score_pairs(
@@ -599,7 +605,11 @@ def oracle_sql() -> dict[str, str]:
               union all select c_custkey from customer)
         """,
         "a2_pair_dedup": """
-            with d as (select distinct on (l_orderkey, l_partkey) * from lineitem)
+            with d as (
+              select * from (
+                select *, row_number() over (partition by l_orderkey, l_partkey
+                                             order by l_linenumber) as rn
+                from lineitem) where rn = 1)
             select l_returnflag, count(*) as n from d group by l_returnflag
         """,
         "a3_stage_counts": """

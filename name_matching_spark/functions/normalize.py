@@ -128,10 +128,12 @@ def normalize_text_col(
     """
     c = F.upper(col) if upper else col
     c = F.regexp_replace(c, r"[/(){}\[\]\|@,;]", " ")
-    # (?U) gives Java's \w and \s Python's Unicode semantics.  Python's \w
-    # additionally spans the letter-number/other-number categories (½, Ⅻ
-    # are str.isalnum()), which Java's \w excludes — keep them explicitly.
-    c = F.regexp_replace(c, r"(?U)[^\w\s\p{Nl}\p{No}]", " ")
+    # Python's \w means "alphanumeric or underscore" = categories
+    # L* ∪ Nd ∪ Nl ∪ No ∪ {_}.  Java's (?U)\w differs on both sides
+    # (includes combining marks Mn/Mc/Me, excludes Nl/No), so the class is
+    # spelled out.  Residual gap: characters assigned between the JVM's and
+    # CPython's Unicode table versions — normalize_udf is the exact twin.
+    c = F.regexp_replace(c, r"(?U)[^\p{L}\p{Nd}\p{Nl}\p{No}_\s]", " ")
     tokens = F.split(c, r"(?U)\s+")
     tokens = F.filter(tokens, lambda t: t != F.lit(""))
     if remove_numbers:

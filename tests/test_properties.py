@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis): metric axioms and Python/Spark parity
+on generated inputs — the randomized tier the reference's suite lacks
+(SURVEY.md §5 extension)."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from name_matching_spark.functions import similarity as sim
+from name_matching_spark.functions.normalize import normalize_text
+
+_name_alpha = string.ascii_uppercase + " '.-&0123456789"
+names = st.text(alphabet=_name_alpha, min_size=0, max_size=30)
+texts = st.text(min_size=0, max_size=60)
+# For Python-vs-JVM parity, stay inside Unicode ranges stable across the
+# two runtimes' Unicode table versions (Python 3.11 ships Unicode 14, Java
+# 17 ships 13: characters assigned in between — e.g. U+12F90 Cypro-Minoan —
+# are word chars for Python and unassigned for Java).  Exact parity for
+# arbitrary codepoints is what normalize_udf (the pandas-UDF twin) is for.
+stable_texts = st.text(
+    alphabet=st.characters(max_codepoint=0x2FFF), min_size=0, max_size=60
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(names, names)
+def test_levenshtein_axioms(a, b):
+    d = sim.levenshtein(a, b)
+    assert d == sim.levenshtein(b, a)                      # symmetry
+    assert (d == 0) == (a == b)                             # identity
+    assert d <= max(len(a), len(b))                         # upper bound
+    assert d >= abs(len(a) - len(b))                        # lower bound
+
+
+@settings(max_examples=100, deadline=None)
+@given(names, names, names)
+def test_levenshtein_triangle(a, b, c):
+    assert sim.levenshtein(a, c) <= sim.levenshtein(a, b) + sim.levenshtein(b, c)
+
+
+@settings(max_examples=200, deadline=None)
+@given(names, names)
+def test_jaro_winkler_bounds(a, b):
+    v = sim.jaro_winkler(a, b)
+    assert 0.0 <= v <= 1.0
+    assert abs(v - sim.jaro_winkler(b, a)) < 1e-12
+    if a == b and a:
+        assert v == 1.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(names, names)
+def test_jaccard_bounds_and_symmetry(a, b):
+    v = sim.jaccard(a, b)
+    assert 0.0 <= v <= 1.0
+    assert abs(v - sim.jaccard(b, a)) < 1e-12
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(names, names), min_size=1, max_size=30))
+def test_batch_equals_scalar(pairs):
+    xs = [a for a, _ in pairs]
+    ys = [b for _, b in pairs]
+    batch = sim.levenshtein_batch(xs, ys)
+    for (a, b), d in zip(pairs, batch):
+        assert d == sim.levenshtein_batch([a], [b])[0]
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts)
+def test_normalize_idempotent_and_clean(t):
+    out = normalize_text(t, remove_numbers=True, remove_stopwords=False)
+    # idempotent
+    assert normalize_text(out, remove_numbers=True, remove_stopwords=False) == out
+    # single-spaced, no leading/trailing whitespace
+    assert out == " ".join(out.split())
+    # no numeric tokens survive
+    assert not any(tok.isnumeric() for tok in out.split())
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(names, names), min_size=1, max_size=10))
+def test_partial_ratio_bounds_batch(pairs):
+    out = sim.partial_ratio_batch([a for a, _ in pairs], [b for _, b in pairs])
+    assert all(0 <= v <= 100 for v in out)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_normalize_spark_parity_random(spark, data):
+    ts = data.draw(st.lists(stable_texts, min_size=1, max_size=8))
+    from pyspark.sql import functions as F
+
+    from name_matching_spark.functions.normalize import normalize_text_col
+
+    df = spark.createDataFrame([(t,) for t in ts], ["t"])
+    got = [
+        r["o"]
+        for r in df.select(normalize_text_col(F.col("t")).alias("o")).collect()
+    ]
+    want = [normalize_text(t, remove_numbers=True, remove_stopwords=False) for t in ts]
+    assert got == want
