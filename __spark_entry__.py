@@ -217,7 +217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (dropDuplicates keeps an arbitrary row — fine semantically, but
         # not value-hash-comparable against an oracle).
         li = _t(spark, sf, "lineitem")
-        w = Window.partitionBy("l_orderkey", "l_partkey").orderBy("l_linenumber")
+        w = Window.partitionBy("l_orderkey", "l_partkey").orderBy(
+            "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate", "l_quantity"
+        )
         return (
             li.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
@@ -607,8 +609,10 @@ def oracle_sql() -> dict[str, str]:
         "a2_pair_dedup": """
             with d as (
               select * from (
-                select *, row_number() over (partition by l_orderkey, l_partkey
-                                             order by l_linenumber) as rn
+                select *, row_number() over (
+                  partition by l_orderkey, l_partkey
+                  order by l_linenumber, l_returnflag, l_linestatus,
+                           l_shipdate, l_quantity) as rn
                 from lineitem) where rn = 1)
             select l_returnflag, count(*) as n from d group by l_returnflag
         """,
