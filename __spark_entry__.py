@@ -359,6 +359,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("len_diff"),
         )
 
+    def f4_f5_token_ratios(spark, sf):
+        # Native-column twins of SORTED_TOKEN_RATIO / TOKEN_SET_RATIO over
+        # consecutive part-name pairs (multi-token names, so token sorting
+        # and dedup actually matter; the pandas-UDF scorer computes the
+        # same semantics — equality unit-tested in tests/test_similarity.py).
+        p = _t(spark, sf, "part").select("p_partkey", "p_name")
+        a = p.select(F.col("p_partkey").alias("key_x"), F.col("p_name").alias("nx"))
+        b = p.select(
+            (F.col("p_partkey") - 1).alias("key_x"),
+            F.col("p_partkey").alias("key_y"),
+            F.col("p_name").alias("ny"),
+        )
+        j = a.join(b, "key_x")
+
+        def sorted_join(c, distinct):
+            toks = F.split(c, " ")
+            if distinct:
+                toks = F.array_distinct(toks)
+            return F.array_join(F.array_sort(toks), " ")
+
+        def ratio(sx, sy):
+            lev = F.levenshtein(sx, sy)
+            denom = F.greatest(F.length(sx), F.length(sy), F.lit(1))
+            return F.round(F.lit(1.0) - lev / denom, 6)
+
+        nx, ny = F.col("nx"), F.col("ny")
+        return j.select(
+            "key_x",
+            "key_y",
+            ratio(sorted_join(nx, False), sorted_join(ny, False)).alias("sorted_token_ratio"),
+            ratio(sorted_join(nx, True), sorted_join(ny, True)).alias("token_set_ratio"),
+        )
+
     def m3_threshold_decision(spark, sf):
         e = _t(spark, sf, "events")
         prob = F.round(F.col("value") / 100.0, 4)
@@ -511,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u2_token_intersect": u2_token_intersect,
         "f1_jaccard": f1_jaccard,
         "f3_ratio_levenshtein": f3_ratio_levenshtein,
+        "f4_f5_token_ratios": f4_f5_token_ratios,
         "m3_threshold_decision": m3_threshold_decision,
         "m5_edges_canonical": m5_edges_canonical,
         "m6_connected_components": m6_connected_components,
@@ -688,6 +722,19 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(a.n_name), length(b.n_name), 1), 6) as ratio,
                    abs(length(a.n_name) - length(b.n_name)) as len_diff
             from nation a join nation b on a.n_nationkey < b.n_nationkey
+        """,
+        "f4_f5_token_ratios": """
+            with s as (
+              select p_partkey,
+                     array_to_string(list_sort(string_split(p_name,' ')), ' ') as st,
+                     array_to_string(list_sort(list_distinct(string_split(p_name,' '))), ' ') as sd
+              from part)
+            select a.p_partkey as key_x, b.p_partkey as key_y,
+                   round(1.0 - levenshtein(a.st, b.st)::double
+                         / greatest(length(a.st), length(b.st), 1), 6) as sorted_token_ratio,
+                   round(1.0 - levenshtein(a.sd, b.sd)::double
+                         / greatest(length(a.sd), length(b.sd), 1), 6) as token_set_ratio
+            from s a join s b on b.p_partkey = a.p_partkey + 1
         """,
         "m3_threshold_decision": """
             select event_id as key, round(value / 100.0, 4) as probability,
