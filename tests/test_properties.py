@@ -12,13 +12,25 @@ from name_matching_spark.functions.normalize import normalize_text
 _name_alpha = string.ascii_uppercase + " '.-&0123456789"
 names = st.text(alphabet=_name_alpha, min_size=0, max_size=30)
 texts = st.text(min_size=0, max_size=60)
-# For Python-vs-JVM parity, stay inside Unicode ranges stable across the
-# two runtimes' Unicode table versions (Python 3.11 ships Unicode 14, Java
-# 17 ships 13: characters assigned in between — e.g. U+12F90 Cypro-Minoan —
-# are word chars for Python and unassigned for Java).  Exact parity for
-# arbitrary codepoints is what normalize_udf (the pandas-UDF twin) is for.
+# For Python-vs-JVM parity, draw only from scripts stable across the two
+# runtimes' Unicode table versions (Python 3.11 ships Unicode 14, Java 17
+# an older table: characters assigned in between — U+12F90 Cypro-Minoan,
+# U+0870 Arabic additions — are word chars for one engine only).  Exact
+# parity for arbitrary codepoints is what normalize_udf (the pandas-UDF
+# twin) is for.
+_STABLE_RANGES = [
+    (0x20, 0x24F),      # ASCII, Latin-1, Latin Extended A/B
+    (0x370, 0x3FF),     # Greek
+    (0x400, 0x4FF),     # Cyrillic
+    (0x2150, 0x218B),   # number forms (roman numerals)
+    (0xFF10, 0xFF19),   # full-width digits
+]
 stable_texts = st.text(
-    alphabet=st.characters(max_codepoint=0x2FFF), min_size=0, max_size=60
+    alphabet=st.one_of(
+        *[st.characters(min_codepoint=a, max_codepoint=b) for a, b in _STABLE_RANGES]
+    ),
+    min_size=0,
+    max_size=60,
 )
 
 
