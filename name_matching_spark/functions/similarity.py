@@ -250,20 +250,28 @@ _MIX = np.uint64(0x9E3779B97F4A7C15).astype(np.int64)
 def _ngram_count_matrix(strs, n: int = 3, dim: int = _NGRAM_DIM) -> np.ndarray:
     """Dense (batch, dim) float32 char-n-gram count matrix, fully vectorized:
     code-point windows are combined into int64 keys and hash-mixed into
-    ``dim`` buckets with ``np.add.at``.  Strings shorter than ``n`` use a
-    single whole-string key so they still compare equal to themselves."""
+    ``dim`` buckets, accumulated with one ``np.bincount`` (an order of
+    magnitude faster than the buffered ``np.add.at`` ufunc).  Strings
+    shorter than ``n`` use a single whole-string key so they still compare
+    equal to themselves."""
     mat, lens = encode_batch(strs)
     rows = len(strs)
-    counts = np.zeros((rows, dim), dtype=np.float32)
     L = mat.shape[1]
-    if L >= n:
+    if rows and L >= n:
         keys = np.zeros((rows, L - n + 1), dtype=np.int64)
         for o in range(n):
             keys = keys * np.int64(1114112) + mat[:, o : L - n + 1 + o].astype(np.int64)
         valid = (np.arange(L - n + 1)[None, :] + n) <= lens[:, None]
         h = ((keys * _MIX) >> np.int64(17)) % dim
         r_idx, c_idx = np.nonzero(valid)
-        np.add.at(counts, (r_idx, h[r_idx, c_idx]), 1.0)
+        flat = r_idx.astype(np.int64) * dim + h[r_idx, c_idx]
+        counts = (
+            np.bincount(flat, minlength=rows * dim)
+            .astype(np.float32)
+            .reshape(rows, dim)
+        )
+    else:
+        counts = np.zeros((rows, dim), dtype=np.float32)
     short = lens < n
     if short.any():
         mix = 0x9E3779B97F4A7C15
@@ -278,13 +286,31 @@ def _ngram_count_matrix(strs, n: int = 3, dim: int = _NGRAM_DIM) -> np.ndarray:
     return counts
 
 
+def _unique_index(*seqs):
+    """Map every string in the given aligned sequences to a compact unique
+    id; returns (unique_list, [index_array per seq]).  Pair batches repeat
+    names heavily (blocking emits each name against many candidates), so
+    per-unique work beats per-row work by the repetition factor."""
+    ids: dict = {}
+    idx_arrays = []
+    for seq in seqs:
+        arr = np.empty(len(seq), dtype=np.int64)
+        for k, s in enumerate(seq):
+            i = ids.get(s)
+            if i is None:
+                i = len(ids)
+                ids[s] = i
+            arr[k] = i
+        idx_arrays.append(arr)
+    return list(ids), idx_arrays
+
+
 def ngram_cosine_batch(xs, ys, n: int = 3) -> np.ndarray:
-    cx = _ngram_count_matrix(xs, n)
-    cy = _ngram_count_matrix(ys, n)
-    dots = np.einsum("ij,ij->i", cx, cy)
-    nx = np.sqrt(np.einsum("ij,ij->i", cx, cx))
-    ny = np.sqrt(np.einsum("ij,ij->i", cy, cy))
-    denom = nx * ny
+    uniq, (ix, iy) = _unique_index(xs, ys)
+    C = _ngram_count_matrix(uniq, n)
+    norms = np.sqrt(np.einsum("ij,ij->i", C, C))
+    dots = np.einsum("ij,ij->i", C[ix], C[iy])
+    denom = norms[ix] * norms[iy]
     out = np.where(denom > 0, dots / np.maximum(denom, 1e-12), 0.0)
     return np.clip(out.astype(np.float64), 0.0, 1.0)
 
@@ -335,10 +361,124 @@ def jaro_winkler(s1: str, s2: str, p: float = 0.1) -> float:
     return jaro + prefix * p * (1.0 - jaro)
 
 
+def _jw_core_batch(xs, ys, p: float = 0.1) -> np.ndarray:
+    """Vectorized Jaro-Winkler across the batch dimension: the greedy
+    window matching advances one s1-position per step for ALL rows at once
+    (numpy boolean algebra over the padded code-point matrices), then
+    transpositions and the common-prefix bonus are computed with one
+    scatter/cumsum pass each.  Bit-identical to :func:`jaro_winkler`
+    (equality-tested in tests/test_kernel_equivalence.py)."""
+    n = len(xs)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    eq = np.fromiter((x == y for x, y in zip(xs, ys)), dtype=bool, count=n)
+    out[eq] = 1.0
+    A, la = encode_batch(xs)
+    B, lb = encode_batch(ys)
+    L1, L2 = A.shape[1], B.shape[1]
+    act = ~eq & (la > 0) & (lb > 0)
+    if not act.any():
+        return out
+    window = np.maximum(la, lb) // 2 - 1  # may be -1: two 1-char strings never match
+    m1 = np.zeros((n, L1), dtype=bool)
+    m2 = np.zeros((n, L2), dtype=bool)
+    matches = np.zeros(n, dtype=np.int32)
+    cols = np.arange(L2, dtype=np.int32)
+    for i in range(L1):
+        rows = act & (la > i)
+        if not rows.any():
+            break
+        lo = np.maximum(0, i - window)
+        hi = np.minimum(lb, i + window + 1)
+        cand = (B == A[:, i][:, None]) & ~m2
+        cand &= (cols >= lo[:, None]) & (cols < hi[:, None])
+        cand &= rows[:, None]
+        has = cand.any(axis=1)
+        if has.any():
+            j = cand.argmax(axis=1)  # first unmatched in-window hit (greedy)
+            r = np.nonzero(has)[0]
+            m2[r, j[r]] = True
+            m1[r, i] = True
+            matches[r] += 1
+    got = act & (matches > 0)
+    if not got.any():
+        return out
+    mmax = int(matches.max())
+    s1m = np.full((n, mmax), -1, dtype=np.int32)
+    s2m = np.full((n, mmax), -2, dtype=np.int32)
+    rows_idx = np.arange(n)
+    # np.nonzero is row-major, so entries of one row arrive in column order;
+    # rank-within-row = running index minus the row's first running index.
+    r1, c1 = np.nonzero(m1)
+    first1 = np.searchsorted(r1, rows_idx)
+    s1m[r1, np.arange(len(r1)) - first1[r1]] = A[r1, c1]
+    r2, c2 = np.nonzero(m2)
+    first2 = np.searchsorted(r2, rows_idx)
+    s2m[r2, np.arange(len(r2)) - first2[r2]] = B[r2, c2]
+    in_m = np.arange(mmax)[None, :] < matches[:, None]
+    t = ((s1m != s2m) & in_m).sum(axis=1) // 2
+    m = matches.astype(np.float64)
+    md = np.maximum(m, 1.0)
+    jaro = (
+        m / np.maximum(la, 1) + m / np.maximum(lb, 1) + (m - t) / md
+    ) / 3.0
+    pmax = min(4, L1, L2)
+    if pmax > 0:
+        pe = (A[:, :pmax] == B[:, :pmax]) & (
+            np.arange(pmax)[None, :] < np.minimum(la, lb)[:, None]
+        )
+        prefix = np.zeros(n, dtype=np.int64)
+        alive = np.ones(n, dtype=bool)
+        for k in range(pmax):  # count of leading equal chars, unrolled
+            alive &= pe[:, k]
+            prefix += alive
+    else:
+        prefix = np.zeros(n, dtype=np.int64)
+    res = jaro + prefix * p * (1.0 - jaro)
+    out[got] = res[got]
+    return out
+
+
+def _unique_pairs(xs, ys):
+    """Dedup aligned string pairs; returns (ux, uy, back-index array)."""
+    ids: dict = {}
+    n = len(xs)
+    back = np.empty(n, dtype=np.int64)
+    ux: list = []
+    uy: list = []
+    for k in range(n):
+        key = (xs[k], ys[k])
+        i = ids.get(key)
+        if i is None:
+            i = len(ids)
+            ids[key] = i
+            ux.append(xs[k])
+            uy.append(ys[k])
+        back[k] = i
+    return ux, uy, back
+
+
+def _jw_chunked(xs, ys, chunk: int = 8192) -> np.ndarray:
+    """Length-sorted, chunked driver for :func:`_jw_core_batch` — one long
+    outlier must not widen the padded matrices (and the per-position loop)
+    for the whole batch."""
+    n = len(xs)
+    if n <= chunk:
+        return _jw_core_batch(xs, ys)
+    order = sorted(range(n), key=lambda k: max(len(xs[k]), len(ys[k])))
+    out = np.zeros(n, dtype=np.float64)
+    for s in range(0, n, chunk):
+        part = order[s : s + chunk]
+        out[part] = _jw_core_batch([xs[k] for k in part], [ys[k] for k in part])
+    return out
+
+
 def jaro_winkler_batch(xs, ys) -> np.ndarray:
-    return np.fromiter(
-        (jaro_winkler(x, y) for x, y in zip(xs, ys)), dtype=np.float64, count=len(xs)
-    )
+    if len(xs) == 0:
+        return np.zeros(0, dtype=np.float64)
+    ux, uy, back = _unique_pairs(xs, ys)
+    return _jw_chunked(ux, uy)[back]
 
 
 def len_diff_batch(xs, ys) -> np.ndarray:
@@ -368,9 +508,58 @@ def monge_elkan_jw(x: str, y: str) -> float:
 
 
 def monge_elkan_jw_batch(xs, ys) -> np.ndarray:
-    return np.fromiter(
-        (monge_elkan_jw(x, y) for x, y in zip(xs, ys)), dtype=np.float64, count=len(xs)
-    )
+    """Batch Monge-Elkan: every token cross-pair in the batch is flattened
+    into ONE vectorized Jaro-Winkler call (token pairs deduped inside
+    :func:`jaro_winkler_batch`), then the per-name max/mean reductions run
+    as numpy segment ops.  Bit-identical to :func:`monge_elkan_jw`."""
+    n = len(xs)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    ux, uy, back = _unique_pairs(xs, ys)
+    u = len(ux)
+    txs = [x.split() for x in ux]
+    tys = [y.split() for y in uy]
+    lefts: list = []
+    rights: list = []
+    row_gid: list = []  # global (pair, left-token) group
+    col_gid: list = []  # global (pair, right-token) group
+    row_of: list = []  # pair index per row group
+    col_of: list = []  # pair index per col group
+    for q in range(u):
+        tx, ty = txs[q], tys[q]
+        if not tx or not ty:
+            continue
+        r0, c0 = len(row_of), len(col_of)
+        row_of.extend([q] * len(tx))
+        col_of.extend([q] * len(ty))
+        for i in range(len(tx)):
+            for j in range(len(ty)):
+                lefts.append(tx[i])
+                rights.append(ty[j])
+                row_gid.append(r0 + i)
+                col_gid.append(c0 + j)
+    res = np.zeros(u, dtype=np.float64)
+    if lefts:
+        sims = jaro_winkler_batch(lefts, rights)
+        row_gid = np.asarray(row_gid, dtype=np.int64)
+        col_gid = np.asarray(col_gid, dtype=np.int64)
+        rowmax = np.full(len(row_of), -1.0)
+        np.maximum.at(rowmax, row_gid, sims)
+        colmax = np.full(len(col_of), -1.0)
+        np.maximum.at(colmax, col_gid, sims)
+        row_of = np.asarray(row_of, dtype=np.int64)
+        col_of = np.asarray(col_of, dtype=np.int64)
+        sum_x = np.zeros(u)
+        np.add.at(sum_x, row_of, rowmax)  # in-order adds == scalar sum order
+        sum_y = np.zeros(u)
+        np.add.at(sum_y, col_of, colmax)
+        nx = np.bincount(row_of, minlength=u).astype(np.float64)
+        ny = np.bincount(col_of, minlength=u).astype(np.float64)
+        ok = (nx > 0) & (ny > 0)
+        res[ok] = 0.5 * (
+            sum_x[ok] / nx[ok] + sum_y[ok] / ny[ok]
+        )
+    return res[back]
 
 
 # ---------------------------------------------------------------------------
@@ -443,8 +632,71 @@ def token_weakest_link(x: str, y: str) -> float:
 
 
 def token_weakest_link_batch(xs, ys, memo: dict | None = None) -> np.ndarray:  # noqa: ARG001 — uniform signature
-    return np.fromiter(
-        (token_weakest_link(x, y) for x, y in zip(xs, ys)),
-        dtype=np.float64,
-        count=len(xs),
-    )
+    """Batch weakest-link: all token-pair similarities are precomputed in
+    one deduped vectorized pass (:func:`_token_sim` overrides resolved in
+    Python — cheap string predicates — and the Jaro-Winkler remainder in
+    ONE :func:`_jw_core_batch` call); the tiny greedy assignment then runs
+    per unique name pair over the precomputed matrix.  Bit-identical to
+    :func:`token_weakest_link`."""
+    n = len(xs)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    ux, uy, back = _unique_pairs(xs, ys)
+    u = len(ux)
+    # Tokenize with the scalar function's swap-to-shorter convention.
+    sides = []
+    for q in range(u):
+        tx, ty = ux[q].split(), uy[q].split()
+        if len(tx) > len(ty):
+            tx, ty = ty, tx
+        sides.append((tx, ty))
+    # Unique token pairs across the whole batch.
+    tp_ids: dict = {}
+    ta: list = []
+    tb: list = []
+
+    def tp_id(a: str, b: str) -> int:
+        i = tp_ids.get((a, b))
+        if i is None:
+            i = len(ta)
+            tp_ids[(a, b)] = i
+            ta.append(a)
+            tb.append(b)
+        return i
+
+    mats = []
+    for tx, ty in sides:
+        mats.append([[tp_id(a, b) for b in ty] for a in tx])
+    sims = np.empty(len(ta), dtype=np.float64)
+    need: list = []
+    for i in range(len(ta)):
+        a, b = ta[i], tb[i]
+        if a == b:
+            sims[i] = 1.0
+        elif len(a) == 1 or len(b) == 1:
+            sims[i] = 1.0 if (a[0] == b[0] and len(a) != len(b)) else 0.0
+        elif a.startswith(b) or b.startswith(a):
+            sims[i] = 1.0
+        else:
+            need.append(i)
+    if need:
+        sims[need] = _jw_chunked([ta[i] for i in need], [tb[i] for i in need])
+    res = np.zeros(u, dtype=np.float64)
+    for q in range(u):
+        tx, ty = sides[q]
+        if not tx or not ty:
+            continue
+        mat = mats[q]
+        remaining = list(range(len(ty)))
+        worst = 1.0
+        for i in range(len(tx)):
+            row = mat[i]
+            best_pos, best_s = 0, -1.0
+            for pos, j in enumerate(remaining):
+                s = sims[row[j]]
+                if s > best_s:
+                    best_pos, best_s = pos, s
+            remaining.pop(best_pos)
+            worst = best_s if best_s < worst else worst
+        res[q] = worst
+    return res[back]

@@ -93,6 +93,7 @@ class GBMClassifier:
         # Pre-sort every feature once; nodes reuse the global order.
         order = np.argsort(X, axis=0, kind="stable")
         self.trees = []
+        self._packed_n = -1  # invalidate any packed forest from a prior fit
         for t in range(self.n_estimators):
             p = _sigmoid(margin)
             g = p - y
@@ -156,11 +157,58 @@ class GBMClassifier:
 
     # -- inference --------------------------------------------------------------
 
+    def _pack(self) -> None:
+        """Precompute, per tree, the root-to-leaf path decomposition:
+        every leaf becomes (value, [(feature, threshold, is_left), ...]).
+        Shallow trees (depth <= 4-ish) then evaluate as a handful of
+        full-column compares + boolean ANDs on contiguous arrays — which
+        beats pointer-chasing gathers on memory-bandwidth-starved hosts."""
+        packed = []
+        for tree in self.trees:
+            leaves: list = []
+            stack: list = [(0, [])]
+            while stack:
+                node, path = stack.pop()
+                f = tree.feature[node]
+                if f < 0:
+                    leaves.append((tree.value[node], path))
+                else:
+                    thr = tree.threshold[node]
+                    stack.append((tree.left[node], path + [(f, thr, True)]))
+                    stack.append((tree.right[node], path + [(f, thr, False)]))
+            # The comparison (feature, thr, side) triples reused across
+            # leaves of one tree are deduped: compute each cond once.
+            conds: dict = {}
+            for _, path in leaves:
+                for f, thr, _left in path:
+                    conds.setdefault((f, thr), len(conds))
+            packed.append((leaves, list(conds)))
+        self._leafpack = packed
+        self._packed_n = len(self.trees)
+
     def predict_proba(self, X: np.ndarray) -> np.ndarray:
         X = np.ascontiguousarray(X, dtype=np.float64)
-        margin = np.full(len(X), self.base_score)
-        for tree in self.trees:
-            margin += self.learning_rate * tree.predict(X)
+        n = len(X)
+        if not self.trees:
+            return _sigmoid(np.full(n, self.base_score))
+        if getattr(self, "_packed_n", -1) != len(self.trees):
+            self._pack()
+        cols = [np.ascontiguousarray(X[:, j]) for j in range(X.shape[1])]
+        margin = np.full(n, self.base_score)
+        lr = self.learning_rate
+        for leaves, cond_keys in self._leafpack:
+            cond_cache = {k: cols[k[0]] <= k[1] for k in cond_keys}
+            for value, path in leaves:
+                mask = None
+                for f, thr, left in path:
+                    c = cond_cache[(f, thr)]
+                    term = c if left else ~c
+                    mask = term if mask is None else (mask & term)
+                contrib = lr * value
+                if mask is None:  # single-leaf tree
+                    margin += contrib
+                else:
+                    margin[mask] += contrib
         return _sigmoid(margin)
 
     # -- (de)serialization --------------------------------------------------------
