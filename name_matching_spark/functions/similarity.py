@@ -75,6 +75,79 @@ def _lev_core(xs, ys) -> np.ndarray:
     return result
 
 
+_MYERS_MAX_M = 53  # bits must stay exact through a float64 bincount
+
+
+def _lev_myers(xs, ys) -> np.ndarray:
+    """Myers/Hyyrö bit-parallel edit distance, vectorized across the batch:
+    O(len(text)) rounds of uint64 boolean algebra instead of the
+    O(len(a) x len(b)) Wagner-Fischer grid.  Requires the per-row pattern
+    (the shorter string) to fit in 53 bits — the caller routes longer rows
+    to :func:`_lev_core`.  Published algorithm: G. Myers, "A fast
+    bit-vector algorithm for approximate string matching based on dynamic
+    programming", JACM 46(3), 1999 (Hyyrö 2001 formulation)."""
+    n = len(xs)
+    # pattern = shorter side (fewer bits), text = longer side
+    pats: list = []
+    txts: list = []
+    for k in range(n):
+        x, y = xs[k], ys[k]
+        if len(x) <= len(y):
+            pats.append(x)
+            txts.append(y)
+        else:
+            pats.append(y)
+            txts.append(x)
+    A, la = encode_batch(pats)
+    B, lb = encode_batch(txts)
+    out = lb.astype(np.int32).copy()  # rows with empty pattern: dist = |text|
+    live = la > 0
+    if not live.any():
+        return out
+    # Local alphabet remap so Peq is a dense (n, V) table.
+    alphabet = np.unique(np.concatenate([A.ravel(), B.ravel()]))
+    V = len(alphabet)
+    Am = np.searchsorted(alphabet, A)
+    Bm = np.searchsorted(alphabet, B)
+    rowsV = np.arange(n, dtype=np.int64) * V
+    # Peq[row, c] = bitmask of pattern positions holding char c.  Each
+    # (row, position) contributes a distinct power of two, so a float64
+    # bincount sum equals the bitwise OR exactly (bits < 2^53).
+    L1 = A.shape[1]
+    valid = np.arange(L1)[None, :] < la[:, None]
+    r_idx, c_idx = np.nonzero(valid)
+    flat = rowsV[r_idx] + Am[r_idx, c_idx]
+    weights = np.ldexp(1.0, c_idx)  # 2**position, exact
+    peq = np.bincount(flat, weights=weights, minlength=n * V).astype(np.uint64)
+    one = np.uint64(1)
+    la64 = la.astype(np.uint64)
+    VP = (one << la64) - one  # la <= 53 so the shift is well-defined
+    VN = np.zeros(n, dtype=np.uint64)
+    score = la.astype(np.int32)
+    top = one << (np.maximum(la64, one) - one)  # clamp: shift by la-1 is UB at la=0
+    top[~live] = 0
+    L2 = B.shape[1]
+    for j in range(L2):
+        act = live & (lb > j)
+        if not act.any():
+            break
+        eq = peq[rowsV + Bm[:, j]]
+        d0 = (((eq & VP) + VP) ^ VP) | eq | VN
+        hp = VN | ~(d0 | VP)
+        hn = d0 & VP
+        score += act & ((hp & top) != 0)
+        score -= act & ((hn & top) != 0)
+        hp = (hp << one) | one
+        hn = hn << one
+        nVP = hn | ~(d0 | hp)
+        nVN = d0 & hp
+        # freeze finished rows (their text is exhausted)
+        VP = np.where(act, nVP, VP)
+        VN = np.where(act, nVN, VN)
+    out[live] = score[live]
+    return out
+
+
 def levenshtein_batch(xs, ys, chunk: int = 8192, memo: dict | None = None) -> np.ndarray:
     """Edit distances for aligned batches of strings.
 
@@ -101,9 +174,21 @@ def levenshtein_batch(xs, ys, chunk: int = 8192, memo: dict | None = None) -> np
         todo.append(k)
     if not todo:
         return result
-    todo.sort(key=lambda k: len(xs[k]) * len(ys[k]))
-    for s in range(0, len(todo), chunk):
-        part = todo[s : s + chunk]
+    # Bit-parallel path for pairs whose shorter side fits in 53 bits
+    # (virtually all names); the Wagner-Fischer grid handles the rest.
+    fast = [k for k in todo if min(len(xs[k]), len(ys[k])) <= _MYERS_MAX_M]
+    slow = [k for k in todo if min(len(xs[k]), len(ys[k])) > _MYERS_MAX_M]
+    fast.sort(key=lambda k: max(len(xs[k]), len(ys[k])))
+    for s in range(0, len(fast), chunk):
+        part = fast[s : s + chunk]
+        out = _lev_myers([xs[k] for k in part], [ys[k] for k in part])
+        result[part] = out
+        if memo is not None:
+            for k, v in zip(part, out):
+                memo[(xs[k], ys[k])] = int(v)
+    slow.sort(key=lambda k: len(xs[k]) * len(ys[k]))
+    for s in range(0, len(slow), chunk):
+        part = slow[s : s + chunk]
         out = _lev_core([xs[k] for k in part], [ys[k] for k in part])
         result[part] = out
         if memo is not None:

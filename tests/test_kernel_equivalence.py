@@ -127,3 +127,40 @@ def test_batch_kernels_tiny_inputs(n):
     assert len(sim.jaro_winkler_batch(xs, ys)) == n
     assert len(sim.monge_elkan_jw_batch(xs, ys)) == n
     assert len(sim.token_weakest_link_batch(xs, ys)) == n
+
+
+def test_myers_levenshtein_exhaustive_small():
+    from itertools import product
+
+    small = [""]
+    for l in range(1, 5):
+        small += ["".join(p) for p in product("AB", repeat=l)]
+    xs, ys = [], []
+    for a in small:
+        for b in small:
+            xs.append(a)
+            ys.append(b)
+    assert np.array_equal(sim._lev_myers(xs, ys), sim._lev_core(xs, ys))
+
+
+def test_myers_levenshtein_random_and_boundary():
+    rng = np.random.default_rng(99)
+
+    def rs(n, lmax, alphabet="ABCDE "):
+        return [
+            "".join(rng.choice(list(alphabet), size=rng.integers(0, lmax)))
+            for _ in range(n)
+        ]
+
+    for lmax in (10, 54):
+        xs, ys = rs(800, lmax), rs(800, lmax)
+        keep = [k for k in range(len(xs)) if min(len(xs[k]), len(ys[k])) <= 53]
+        xs = [xs[k] for k in keep]
+        ys = [ys[k] for k in keep]
+        assert np.array_equal(sim._lev_myers(xs, ys), sim._lev_core(xs, ys))
+
+
+def test_levenshtein_batch_routes_long_strings():
+    xs = ["A" * 80, "AB" * 40, "kitten"]
+    ys = ["A" * 79 + "B", "BA" * 40, "sitting"]
+    assert list(sim.levenshtein_batch(xs, ys)) == [1, 2, 3]
