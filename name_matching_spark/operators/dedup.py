@@ -114,17 +114,24 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         docs, text_col, key_col, num_hashes=bands * rows_per_band, shingle_n=shingle_n
     )
-    band_rows = None
-    for b in range(bands):
-        band = sigs.select(
-            "key",
+    # ONE materialized signature per doc, then all band keys exploded from
+    # it in a single pass.  (A per-band union of selects over the
+    # unmaterialized projection re-executes the md5 + K-hash aggregate once
+    # per band — Catalyst does not CSE across union branches.)
+    bucket_arr = F.array(
+        *[
             F.concat_ws(
                 "_",
                 F.lit(b),
-                *[F.col("sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)],
-            ).alias("bucket"),
-        )
-        band_rows = band if band_rows is None else band_rows.unionByName(band)
+                *[
+                    F.col("sig")[b * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    band_rows = sigs.select("key", F.explode(bucket_arr).alias("bucket"))
     a, b_ = band_rows.alias("a"), band_rows.alias("b")
     return (
         a.join(b_, "bucket")
