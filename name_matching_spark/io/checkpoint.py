@@ -49,6 +49,13 @@ class CheckpointManager:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._stage_dir(name))
 
+    def _stored_params(self, name: str):
+        try:
+            with open(self.manifest_path(name)) as f:
+                return json.load(f).get("params")
+        except Exception:
+            return None
+
     # -- the stage runner ------------------------------------------------------
 
     def stage(
@@ -57,14 +64,22 @@ class CheckpointManager:
         fn,
         inputs: list[str] | None = None,
         force: bool = False,
+        params: dict | None = None,
     ) -> DataFrame:
         """Run ``fn() -> DataFrame`` checkpointed under ``name``.
 
         If a complete manifest exists (and not ``force``), the stored table
-        is returned without recomputation.
+        is returned without recomputation — but only when the recorded
+        ``params`` (stage configuration + input fingerprint) match the
+        current ones: rerunning into an existing warehouse with a different
+        threshold or a different input table must recompute, not silently
+        serve results produced under the old configuration.
         """
         if self.is_complete(name) and not force:
-            return self.read(name)
+            stored = self._stored_params(name)
+            current = json.loads(json.dumps(params)) if params is not None else None
+            if params is None or stored == current:
+                return self.read(name)
         t0 = time.time()
         out = fn()
         path = self._stage_dir(name)
@@ -84,6 +99,7 @@ class CheckpointManager:
             "rows": rows,
             "partitions": part_counts,
             "inputs": inputs or [],
+            "params": params,
             "schema": stored.schema.jsonValue(),
             "duration_sec": round(time.time() - t0, 3),
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

@@ -96,7 +96,12 @@ def score_pairs(
     """
     scorer = make_scorer_udf(model_json, tfidf_json, spark=pairs.sparkSession)
     scored = pairs.withColumn("_s", scorer(F.col(name_x), F.col(name_y)))
-    prob = F.round(F.col("_s.probability"), 4)
+    # Decision from the RAW probability; rounding is display-only — exactly
+    # the reference's split (predict_model.py:176-187 thresholds the raw
+    # probability and rounds only the persisted column).  Thresholding the
+    # rounded value would flip e.g. 0.84996 -> 0.8500 >= 0.85 at the boundary.
+    prob_raw = F.col("_s.probability")
+    prob = F.round(prob_raw, 4)
     valid = (F.length(F.coalesce(F.col(name_x), F.lit(""))) > 0) & (
         F.length(F.coalesce(F.col(name_y), F.lit(""))) > 0
     )
@@ -105,7 +110,7 @@ def score_pairs(
         cols += [F.col(f"_s.{f}").alias(f) for f in FEATURE_COLS]
     cols += [
         prob.alias("probability"),
-        F.when(valid & (prob >= F.lit(threshold)), F.lit(1)).otherwise(F.lit(0)).alias("prediction"),
+        F.when(valid & (prob_raw >= F.lit(threshold)), F.lit(1)).otherwise(F.lit(0)).alias("prediction"),
     ]
     scored = scored.select(*cols).withColumn(
         "match_label",

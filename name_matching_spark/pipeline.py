@@ -59,9 +59,9 @@ class EntityResolutionPipeline:
         self._model_json = model.to_json()
         self.timings: dict[str, float] = {}
 
-    def _stage(self, name: str, fn, inputs=None) -> DataFrame:
+    def _stage(self, name: str, fn, inputs=None, params=None) -> DataFrame:
         t0 = time.time()
-        out = self.ckpt.stage(name, fn, inputs=inputs)
+        out = self.ckpt.stage(name, fn, inputs=inputs, params=params)
         self.timings[name] = round(time.time() - t0, 3)
         return out
 
@@ -73,14 +73,23 @@ class EntityResolutionPipeline:
             tfidf = TfidfModel.fit_spark(
                 names, name_col="name", extra_corpus=load_train_corpus()
             )
-            with open(path, "w") as f:
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
                 f.write(tfidf.to_json())
+            os.replace(tmp, path)  # resume must never see a torn artifact
             self.timings["tfidf"] = round(time.time() - t0, 3)
         with open(path) as f:
             return f.read()
 
     def run(self, transcripts: DataFrame) -> dict[str, DataFrame]:
-        conv = self._stage("conversations", lambda: canonicalize(transcripts))
+        # Input fingerprint: the normalized-plan hash of the input table.
+        # Recorded in every stage manifest so a resume against a different
+        # transcripts table (or different stage parameters) recomputes
+        # instead of silently serving stale results.
+        in_fp = {"input": transcripts.semanticHash()}
+        conv = self._stage(
+            "conversations", lambda: canonicalize(transcripts), params=in_fp
+        )
         names = self._stage(
             "names",
             lambda: conv.where(
@@ -89,25 +98,34 @@ class EntityResolutionPipeline:
             .select("name")
             .distinct(),
             inputs=["conversations"],
+            params=in_fp,
         )
         # Corpus-adaptive TF-IDF: distributed fit over training ∪ resolution
         # names (checkpointed like any stage — only the 10k-term vocab is
         # collected/stored, never the name table).
         tfidf_json = self._tfidf_stage(names)
+        block_params = {**in_fp, "max_block": self.max_block}
         pairs = self._stage(
             "candidate_pairs",
             lambda: candidate_pairs(names, max_block=self.max_block),
             inputs=["names"],
+            params=block_params,
         )
         self._stage(
             "block_metrics",
             lambda: block_stats(names, max_block=self.max_block),
             inputs=["names"],
+            params=block_params,
         )
         # Repartition before the Arrow-UDF scorer: the checkpointed pair
         # table is small on disk and AQE would coalesce it to a few
         # partitions, starving the (CPU-bound) scorer of parallelism.
         n_part = self.spark.sparkContext.defaultParallelism * 2
+        score_params = {
+            **block_params,
+            "threshold": self.threshold,
+            "keep_features": self.keep_features,
+        }
         scored = self._stage(
             "scored_pairs",
             lambda: score_pairs(
@@ -118,6 +136,7 @@ class EntityResolutionPipeline:
                 keep_features=self.keep_features,
             ),
             inputs=["candidate_pairs", "tfidf"],
+            params=score_params,
         )
         matches = scored.where(F.col("prediction") == 1)
         components = self._stage(
@@ -128,16 +147,19 @@ class EntityResolutionPipeline:
                 )
             ),
             inputs=["scored_pairs"],
+            params=score_params,
         )
         entities = self._stage(
             "entities",
             lambda: entity_table(components, names),
             inputs=["components", "names"],
+            params=score_params,
         )
         resolved = self._stage(
             "resolved_conversations",
             lambda: resolve_records(conv, entities, ["name"]),
             inputs=["conversations", "entities"],
+            params=score_params,
         )
         return {
             "conversations": conv,

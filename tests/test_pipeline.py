@@ -119,3 +119,37 @@ def test_checkpoint_resume(spark, tmp_path):
         man = json.load(f)
     assert man["rows"] == len(ents2)
     assert man["partitions"] and all("rows" in p for p in man["partitions"])
+
+
+@pytest.mark.slow
+def test_checkpoint_invalidates_on_param_change(spark, tmp_path):
+    """A resume with different stage parameters (or a different input
+    table) must recompute, not serve results from the old configuration."""
+    fixture = str(tmp_path / "fx2")
+    write_fixture(fixture, n_entities=15, convs_per_entity=3, seed=7)
+    wh = str(tmp_path / "wh2")
+    transcripts = spark.read.parquet(os.path.join(fixture, "transcripts.parquet"))
+    p1 = EntityResolutionPipeline(spark, wh, threshold=0.85)
+    p1.run(transcripts)
+    import json
+
+    with open(p1.ckpt.manifest_path("scored_pairs")) as f:
+        assert json.load(f)["params"]["threshold"] == 0.85
+    run1_scored = json.load(open(p1.ckpt.manifest_path("scored_pairs")))["run_id"]
+
+    # Same params -> resume (run_id in manifest unchanged).
+    p2 = EntityResolutionPipeline(spark, wh, threshold=0.85)
+    p2.run(transcripts)
+    assert json.load(open(p2.ckpt.manifest_path("scored_pairs")))["run_id"] == run1_scored
+    # Upstream stages also resumed.
+    assert json.load(open(p2.ckpt.manifest_path("conversations")))["run_id"] != p2.ckpt.run_id
+
+    # Different threshold -> scored_pairs and downstream recompute, while
+    # the input-only stages still resume.
+    p3 = EntityResolutionPipeline(spark, wh, threshold=0.99)
+    p3.run(transcripts)
+    man3 = json.load(open(p3.ckpt.manifest_path("scored_pairs")))
+    assert man3["run_id"] == p3.ckpt.run_id
+    assert man3["params"]["threshold"] == 0.99
+    conv3 = json.load(open(p3.ckpt.manifest_path("conversations")))
+    assert conv3["run_id"] != p3.ckpt.run_id  # untouched by the new threshold
