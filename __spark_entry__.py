@@ -471,7 +471,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = e.where(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        return lsh_topk(e, q, k=5, dim=64, bits=4, tables=4)
+        return lsh_topk(e, q, k=5, dim=64, bits=3, tables=8)
+
+    def ann2_recall_vs_exact(spark, sf):
+        # Quantitative check for the ANN path: recall@5 of the LSH result
+        # against the exact brute-force top-k (no SQL oracle — the LSH
+        # bucketing is not SQL-expressible — but the row VALUES are the
+        # falsifiable quality metric; tests/test_corpus_ops.py asserts
+        # mean recall >= 0.9 on this same fixture).
+        from name_matching_spark.operators.similarity_search import recall_at_k
+
+        e = _t(spark, sf, "embeddings")
+        q = e.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        approx = lsh_topk(e, q, k=5, dim=64, bits=3, tables=8)
+        exact = brute_force_topk(e, q, k=5)
+        return recall_at_k(approx, exact, k=5)
 
     def t1_token_count(spark, sf):
         return ta.token_count(_t(spark, sf, "documents")).select(
@@ -503,10 +519,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from name_matching_spark.operators.scoring import score_pairs
 
         model, tfidf = load_artifacts()
-        p = (
+        # Scale-honest demo plan: bound the name set FIRST (top-K pushdown,
+        # a TakeOrdered at any sf), THEN pair within the bounded set — the
+        # previous shape (unbounded cross join + global sort + limit) is
+        # exactly what the north rule bans.  64 names -> 2016 ordered pairs
+        # -> stable 2000-row output.
+        p = F.broadcast(
             _t(spark, sf, "part")
             .select(normalize_text_col(F.col("p_name"), upper=True).alias("name"))
             .distinct()
+            .orderBy("name")
+            .limit(64)
         )
         a, b = p.alias("a"), p.alias("b")
         pairs = (
@@ -556,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_embedding_cosine": d5_embedding_cosine,
         "ann1_bruteforce_topk": ann1_bruteforce_topk,
         "ann2_lsh_topk": ann2_lsh_topk,
+        "ann2_recall_vs_exact": ann2_recall_vs_exact,
         "t1_token_count": t1_token_count,
         "t2_quality_score": t2_quality_score,
         "t3_lang_id": t3_lang_id,

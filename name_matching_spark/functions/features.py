@@ -48,7 +48,7 @@ def build_features(xs, ys, tfidf: TfidfModel) -> np.ndarray:
         sim.ratio_batch(xs, ys, memo=memo),
         sim.sorted_token_ratio_batch(xs, ys, memo=memo),
         sim.token_set_ratio_batch(xs, ys, memo=memo),
-        sim.partial_ratio_batch(xs, ys, memo=memo).astype(np.float64),
+        sim.partial_ratio_reference_batch(xs, ys).astype(np.float64),
         sim.ngram_cosine_batch(xs, ys),
         sim.len_diff_batch(xs, ys).astype(np.float64),
         sim.jaro_winkler_batch(xs, ys),

@@ -25,6 +25,8 @@ Feature map (reference -> here):
 
 from __future__ import annotations
 
+from difflib import SequenceMatcher
+
 import numpy as np
 
 # ---------------------------------------------------------------------------
@@ -322,6 +324,48 @@ def partial_ratio_batch(xs, ys, max_windows: int = 64, memo: dict | None = None)
     present[seg] = True
     result[present] = scored[present]
     return result
+
+
+def partial_ratio_reference(x: str, y: str) -> int:
+    """Bit-equal reimplementation of ``fuzzywuzzy.fuzz.partial_ratio``
+    (the reference's F6, build_features.py:209-213 in
+    vietexob/name-matching): SequenceMatcher matching blocks of
+    (shorter, longer) propose window start positions; each window is
+    scored with ``SequenceMatcher.ratio`` (gestalt 2M/T, NOT edit
+    distance); best score scaled to 0-100 with banker's rounding, with
+    the published > 0.995 early-exit.
+
+    Fast path: when the shorter string occurs verbatim in the longer one,
+    some block window equals it exactly and the published algorithm
+    returns 100 — checked with ``in`` before any SequenceMatcher work.
+    """
+    if len(x) <= len(y):
+        shorter, longer = x, y
+    else:
+        shorter, longer = y, x
+    if shorter in longer:
+        return 100
+    m = SequenceMatcher(None, shorter, longer)
+    blocks = m.get_matching_blocks()
+    best = 0.0
+    n = len(shorter)
+    for a_i, b_j, _size in blocks:
+        long_start = b_j - a_i if (b_j - a_i) > 0 else 0
+        long_substr = longer[long_start : long_start + n]
+        r = SequenceMatcher(None, shorter, long_substr).ratio()
+        if r > 0.995:
+            return 100
+        if r > best:
+            best = r
+    return int(round(100 * best))
+
+
+def partial_ratio_reference_batch(xs, ys) -> np.ndarray:
+    ux, uy, back = _unique_pairs(xs, ys)
+    out = np.empty(len(ux), dtype=np.int64)
+    for i in range(len(ux)):
+        out[i] = partial_ratio_reference(ux[i], uy[i])
+    return out[back]
 
 
 # ---------------------------------------------------------------------------

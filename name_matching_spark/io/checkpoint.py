@@ -28,11 +28,47 @@ from pyspark.sql import functions as F
 MANIFEST = "_MANIFEST.json"
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """Probe for the Iceberg Spark runtime on the JVM classpath.  The
+    sandbox ships none (this returns False there — test-documented); a
+    cluster with ``iceberg-spark-runtime`` on the classpath and a catalog
+    configured flips the CheckpointManager to real catalog tables."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 — classpath probe
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
 class CheckpointManager:
-    def __init__(self, spark: SparkSession, warehouse: str, run_id: str | None = None):
+    """``table_format="parquet"`` (default) stores each stage as a parquet
+    directory; ``table_format="catalog"`` stores it through the DataSourceV2
+    ``df.writeTo(...)`` / ``spark.read.table(...)`` path — with an Iceberg
+    catalog that is a real Iceberg table, and the same code runs against the
+    session catalog with ``table_provider="parquet"`` (how the sandbox tests
+    exercise the branch).  Manifests live in the warehouse dir either way."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        run_id: str | None = None,
+        table_format: str = "parquet",
+        namespace: str = "default",
+        table_provider: str | None = None,
+    ):
         self.spark = spark
         self.warehouse = warehouse
         self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.table_format = table_format
+        self.namespace = namespace
+        # Iceberg catalogs imply the iceberg provider; the session catalog
+        # (the jar-less fallback) needs an explicit file provider.
+        self.table_provider = table_provider or (
+            "iceberg" if iceberg_available(spark) else "parquet"
+        )
         os.makedirs(warehouse, exist_ok=True)
 
     # -- paths ---------------------------------------------------------------
@@ -40,14 +76,36 @@ class CheckpointManager:
     def _stage_dir(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
 
+    def _table_ident(self, name: str) -> str:
+        return f"{self.namespace}.{name}"
+
     def manifest_path(self, name: str) -> str:
+        if self.table_format == "catalog":
+            return os.path.join(self.warehouse, f"{name}.{MANIFEST}")
         return os.path.join(self._stage_dir(name), MANIFEST)
 
     def is_complete(self, name: str) -> bool:
         return os.path.exists(self.manifest_path(name))
 
     def read(self, name: str) -> DataFrame:
+        if self.table_format == "catalog":
+            return self.spark.read.table(self._table_ident(name))
         return self.spark.read.parquet(self._stage_dir(name))
+
+    def _write(self, out: DataFrame, name: str) -> None:
+        if self.table_format == "catalog":
+            writer = out.writeTo(self._table_ident(name)).using(self.table_provider)
+            try:
+                writer.createOrReplace()
+            except Exception:
+                # V1 session catalog (no Iceberg jar) rejects REPLACE TABLE;
+                # drop + create gives the same write-once snapshot semantics.
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS {self._table_ident(name)}"
+                )
+                writer.create()
+        else:
+            out.write.mode("overwrite").parquet(self._stage_dir(name))
 
     def _stored_params(self, name: str):
         try:
@@ -82,9 +140,8 @@ class CheckpointManager:
                 return self.read(name)
         t0 = time.time()
         out = fn()
-        path = self._stage_dir(name)
-        out.write.mode("overwrite").parquet(path)
-        stored = self.spark.read.parquet(path)
+        self._write(out, name)
+        stored = self.read(name)
         # Per-partition lineage: row count per physical input partition.
         part_counts = [
             {"partition": int(r["pid"]), "rows": int(r["rows"])}

@@ -76,7 +76,14 @@ def make_scorer_udf(model_json: str, tfidf_json: str, spark=None):
             out["probability"] = prob
             yield out
 
-    return F.pandas_udf(_score, _SCORE_SCHEMA)
+    # asNondeterministic: the scorer IS deterministic, but declaring it so
+    # lets Catalyst push a later filter (e.g. prediction == 1) through the
+    # repartition exchange by DUPLICATING the ArrowEvalPython node — the
+    # whole GBM scorer then runs twice, once at the low pre-shuffle
+    # parallelism.  Nondeterministic blocks that rewrite: one evaluation,
+    # after the exchange.  (Observed: 2x ArrowEvalPython in the
+    # score->filter plan, the pre-shuffle copy on 5 tasks.)
+    return F.pandas_udf(_score, _SCORE_SCHEMA).asNondeterministic()
 
 
 def score_pairs(

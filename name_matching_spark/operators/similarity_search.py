@@ -98,17 +98,19 @@ def lsh_topk(
     planes = _hyperplanes(dim, bits, tables, seed)
     corpus = emb.select(F.col(key_col).alias("vec_id"), F.col(vec_col).alias("v"))
     qs = queries.select(F.col(query_key_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c_buck = None
-    q_buck = None
-    for t in range(tables):
-        cb = corpus.select(
-            "vec_id", "v", F.lit(t).alias("tbl"), _bucket_expr(F.col("v"), planes[t]).alias("bucket")
-        )
-        qb = qs.select(
-            "query_id", "qv", F.lit(t).alias("tbl"), _bucket_expr(F.col("qv"), planes[t]).alias("bucket")
-        )
-        c_buck = cb if c_buck is None else c_buck.unionByName(cb)
-        q_buck = qb if q_buck is None else q_buck.unionByName(qb)
+
+    def all_buckets(vec: Column) -> Column:
+        # ONE projection computing every table's bucket id; posexplode
+        # yields (table index, bucket) — a single corpus scan instead of a
+        # `tables`-way union of scans.
+        return F.array(*[_bucket_expr(vec, planes[t]) for t in range(tables)])
+
+    c_buck = corpus.select(
+        "vec_id", "v", F.posexplode(all_buckets(F.col("v"))).alias("tbl", "bucket")
+    )
+    q_buck = qs.select(
+        "query_id", "qv", F.posexplode(all_buckets(F.col("qv"))).alias("tbl", "bucket")
+    )
     cand = (
         q_buck.join(c_buck, ["tbl", "bucket"])
         .select("query_id", "vec_id", "qv", "v")
@@ -120,4 +122,27 @@ def lsh_topk(
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """(query_id, hits, recall): fraction of the exact top-k the
+    approximate result recovered — the falsifiable quality check for the
+    LSH path (brute_force_topk is the in-repo ground truth)."""
+    ex = exact.where(F.col("rank") <= k).select("query_id", "vec_id")
+    ap = approx.where(F.col("rank") <= k).select("query_id", "vec_id")
+    hits = ex.join(ap, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("hits")
+    )
+    return (
+        ex.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            F.round(F.coalesce(F.col("hits"), F.lit(0)) / F.col("n_exact"), 6).alias(
+                "recall"
+            ),
+        )
     )

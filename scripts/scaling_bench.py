@@ -28,8 +28,20 @@ from name_matching_spark.pipeline import EntityResolutionPipeline
 
 cores = int(sys.argv[1])
 fixture = sys.argv[2]
-spark = get_spark(app_name=f"nms-scale-{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=2 * cores)
+master = sys.argv[3] if len(sys.argv) > 3 else f"local[{{cores}}]"
+extra = {{}}
+if master.startswith("local-cluster"):
+    # Separate executor JVMs: the python package and the malloc tuning must
+    # reach the executor-side UDF workers explicitly.
+    extra = {{
+        "spark.executorEnv.PYTHONPATH": {repo!r},
+        "spark.executorEnv.MALLOC_MMAP_THRESHOLD_": "1073741824",
+        "spark.executorEnv.MALLOC_TRIM_THRESHOLD_": "1073741824",
+        "spark.executorEnv.MALLOC_ARENA_MAX": "2",
+        "spark.executor.memory": "3g",
+    }}
+spark = get_spark(app_name=f"nms-scale-{{cores}}", master=master,
+                  shuffle_partitions=2 * cores, extra_conf=extra)
 wh = tempfile.mkdtemp(prefix=f"nms_scale_{{cores}}_")
 try:
     t0 = time.time()
@@ -52,13 +64,15 @@ finally:
 """
 
 
-def run_level(cores: int, fixture: str) -> dict:
+def run_level(cores: int, fixture: str, master: str | None = None) -> dict:
     script = WORKER.format(repo=REPO)
     t0 = time.time()
     # taskset pins the whole process tree (JVM + python UDF workers) to
     # exactly `cores` CPUs — otherwise local[8]'s python workers borrow
     # idle cores and inflate the low-parallelism baseline.
     cmd = [sys.executable, "-c", script, str(cores), fixture]
+    if master:
+        cmd.append(master)
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     proc = subprocess.run(
@@ -90,6 +104,18 @@ def main() -> None:
     # machine's linear range (raw multiprocessing scales at 0.93 there).
     levels = [int(x) for x in os.environ.get("SCALE_BENCH_LEVELS", "4,16").split(",")]
     reps = int(os.environ.get("SCALE_BENCH_REPS", "2"))
+    # mode=local-cluster runs N and 4N EXECUTOR PROCESSES (separate JVMs,
+    # 4 cores each) instead of local[N] threads — the north rule's
+    # N -> 4N executors shape across real process boundaries.
+    mode = os.environ.get("SCALE_BENCH_MODE", "local")
+    exec_cores = int(os.environ.get("SCALE_BENCH_EXEC_CORES", "4"))
+
+    def master_for(c: int) -> str | None:
+        if mode == "local-cluster":
+            n_exec = max(c // exec_cores, 1)
+            return f"local-cluster[{n_exec},{exec_cores},3072]"
+        return None
+
     # Interleave repetitions (A,B,A,B) and keep the fastest run per level:
     # the sandbox VM's available compute drifts (hypervisor co-tenancy), so
     # back-to-back single runs systematically favor whichever ran in a
@@ -97,7 +123,7 @@ def main() -> None:
     best: dict[int, dict] = {}
     for _ in range(reps):
         for c in levels:
-            r = run_level(c, fixture)
+            r = run_level(c, fixture, master=master_for(c))
             if c not in best or r["score_sec"] < best[c]["score_sec"]:
                 best[c] = r
     results = [best[c] for c in levels]
@@ -110,14 +136,28 @@ def main() -> None:
     eff_total = (thr_total[-1] / thr_total[0]) / factor
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    lines = [
-        "# BENCH/BASELINE — two-parallelism scaling evidence",
-        "",
-        "BASELINE.json requires throughput scaling efficiency >= 0.8 from N to",
-        "4N executors.  The sandbox has no cluster, so per the driver",
-        "instruction the same job (full ER pipeline: canonicalize -> block ->",
-        "score -> cluster -> resolve) runs on the same input at two local",
-        "parallelism levels, each in a fresh JVM.",
+    if mode == "local-cluster":
+        header = [
+            "# BENCH/LOCAL_CLUSTER — N vs 4N executor processes",
+            "",
+            "Same job, same input, run on `local-cluster[N,4,3072]` vs",
+            "`local-cluster[4N,4,3072]`: separate executor JVMs with their own",
+            "python UDF workers, shuffles crossing real process boundaries —",
+            "the closest the sandbox gets to the north rule's N -> 4N",
+            "executors criterion.",
+        ]
+    else:
+        header = [
+            "# BENCH/BASELINE — two-parallelism scaling evidence",
+            "",
+            "BASELINE.json requires throughput scaling efficiency >= 0.8 from N to",
+            "4N executors.  The sandbox has no cluster, so per the driver",
+            "instruction the same job (full ER pipeline: canonicalize -> block ->",
+            "score -> cluster -> resolve) runs on the same input at two local",
+            "parallelism levels, each in a fresh JVM.  (See BENCH/LOCAL_CLUSTER.md",
+            "for the same measurement across separate executor processes.)",
+        ]
+    lines = header + [
         "",
         f"Input: deterministic transcripts fixture, {n_entities} entities x 5",
         "conversations (seed 42); throughput metric = candidate-pairs-scored/sec",
@@ -143,10 +183,12 @@ def main() -> None:
         json.dumps({f"local[{r['cores']}]": r["stage_timings"] for r in results}, indent=2),
         "```",
     ]
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    fname = "LOCAL_CLUSTER.md" if mode == "local-cluster" else "BASELINE.md"
+    path = os.path.join(REPO, "BENCH", fname)
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({
+        "mode": mode,
         "levels": levels,
         "throughput_scoring": [round(t) for t in thr],
         "efficiency_scoring": round(eff_score, 3),

@@ -122,3 +122,21 @@ def test_multimodal_plumbing(spark):
     )
     row = extract_features(bad).collect()[0]
     assert row["feature"] is None
+
+
+def test_ann2_recall_at_k_on_driver_fixture(spark):
+    """The falsifiable ANN quality gate: recall@5 of the LSH path vs the
+    exact brute force on the driver's embeddings table, with the exact
+    parameters ann2_lsh_topk uses (mean recall >= 0.9)."""
+    from name_matching_spark.operators.similarity_search import recall_at_k
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, q, k=5)
+    approx = lsh_topk(emb, q, k=5, dim=64, bits=3, tables=8)
+    rows = recall_at_k(approx, exact, k=5).collect()
+    assert len(rows) == 10
+    mean_recall = sum(r["recall"] for r in rows) / len(rows)
+    assert mean_recall >= 0.9, f"ANN mean recall {mean_recall}"

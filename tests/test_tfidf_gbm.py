@@ -67,3 +67,53 @@ def test_gbm_probability_monotone_feature():
     model = GBMClassifier(n_estimators=50, max_depth=2).fit(X, y)
     p = model.predict_proba(np.array([[0.1], [0.9]]))
     assert p[0] < 0.2 and p[1] > 0.8
+
+
+def test_tune_grid_search_deterministic():
+    """The deterministic grid search (Optuna stand-in): same inputs ->
+    same chosen config, results recorded per config, objective =
+    holdout F1@threshold with AP tiebreak."""
+    import numpy as np
+
+    from name_matching_spark.model.train import tune_grid_search
+
+    rng = np.random.default_rng(3)
+    X = rng.random((4000, 5))
+    y = ((X[:, 0] + 0.5 * X[:, 1] + 0.1 * rng.random(4000)) > 0.9).astype(float)
+    grid = [
+        {"n_estimators": 30, "max_depth": 2, "learning_rate": 0.2},
+        {"n_estimators": 60, "max_depth": 3, "learning_rate": 0.2},
+    ]
+    r1 = tune_grid_search(X, y, grid=grid, threshold=0.5)
+    r2 = tune_grid_search(X, y, grid=grid, threshold=0.5)
+    assert r1["best"] == r2["best"]
+    assert r1["best"] in grid
+    assert len(r1["results"]) == 2
+    assert all("holdout_ap" in r and "holdout_f1" in r for r in r1["results"])
+    # selection key: F1 primary, AP tiebreak, then grid order
+    best = r1["best"]
+    best_rec = next(r for r in r1["results"] if all(r[k] == best[k] for k in best))
+    assert best_rec["holdout_f1"] == max(r["holdout_f1"] for r in r1["results"])
+
+
+def test_train_records_tuning_metrics(tmp_path):
+    """train(tune_grid=...) must persist the chosen params + per-config
+    results in the metrics JSON (artifacts redirected to tmp)."""
+    import json
+    import os
+
+    from name_matching_spark.model.train import train
+
+    grid = [
+        {"n_estimators": 20, "max_depth": 2, "learning_rate": 0.3},
+        {"n_estimators": 40, "max_depth": 3, "learning_rate": 0.3},
+    ]
+    metrics = train(
+        tune_grid=grid, out_dir=str(tmp_path), verbose=False,
+        synthetic_entities=0,
+    )
+    assert metrics["tuning"]["best"] in grid
+    assert metrics["n_estimators"] == metrics["tuning"]["best"]["n_estimators"]
+    on_disk = json.load(open(os.path.join(tmp_path, "train_metrics.json")))
+    assert on_disk["tuning"] == metrics["tuning"]
+    assert os.path.exists(os.path.join(tmp_path, "match_gbm.json"))
