@@ -104,6 +104,7 @@ def main() -> None:
                 "er_candidate_pairs_scored": pairs_scored,
                 "er_pairs_scored_per_sec": round(pairs_scored / score_sec, 1),
                 "er_entities": n_entities,
+                "er_stages": pipe.timings,
             }
         )
     )

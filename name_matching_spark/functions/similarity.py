@@ -349,10 +349,20 @@ def partial_ratio_reference(x: str, y: str) -> int:
     blocks = m.get_matching_blocks()
     best = 0.0
     n = len(shorter)
+    seen: set = set()
     for a_i, b_j, _size in blocks:
         long_start = b_j - a_i if (b_j - a_i) > 0 else 0
+        if long_start in seen:  # identical window -> identical ratio
+            continue
+        seen.add(long_start)
         long_substr = longer[long_start : long_start + n]
-        r = SequenceMatcher(None, shorter, long_substr).ratio()
+        sm = SequenceMatcher(None, shorter, long_substr)
+        # Exact branch-and-bound: quick_ratio is a published upper bound on
+        # ratio, so a window that cannot strictly beat `best` (and best is
+        # known <= 0.995 here, else we returned) cannot change the result.
+        if sm.quick_ratio() <= best:
+            continue
+        r = sm.ratio()
         if r > 0.995:
             return 100
         if r > best:

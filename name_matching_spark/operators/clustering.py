@@ -85,27 +85,90 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(rows) -> list[tuple[str, str]]:
+    """Min-label union-find over an edge list (driver-side fast path)."""
+    parent: dict = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for lo, hi in rows:
+        if lo not in parent:
+            parent[lo] = lo
+        if hi not in parent:
+            parent[hi] = hi
+        ra, rb = find(lo), find(hi)
+        if ra != rb:
+            # union by MIN label so the root IS the component label
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return [(x, find(x)) for x in parent]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 25,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """(name, component) for every node in ``edges``; ``component`` is the
     lexicographically smallest node name in the connected component.
+
+    Size-adaptive execution: when the deduplicated edge set fits the
+    ``driver_max_edges`` bound (one count job decides), a driver-side
+    union-find labels it in milliseconds — per-round scheduling overhead
+    dominates distributed iteration at that size.  Above the bound the
+    large-star/small-star alternation runs fully distributed; it strictly
+    contracts the graph, and each round re-checks the bound so the tail of
+    a huge job finishes on the driver too.  (At the 10^12-turn design
+    scale the match graph stays far above the bound for many rounds — the
+    collect is explicitly size-gated, never unbounded.)
 
     Raises ``RuntimeError`` if the star alternation has not reached its
     fixed point within ``max_iterations`` rounds (silently returning
     partial labels would split entities)."""
     e = _canon_edges(edges, src, dst).localCheckpoint()
     retired = [e]
+    spark = edges.sparkSession
+
+    def _finish_on_driver(cur_e: DataFrame) -> DataFrame:
+        from pyspark.sql.types import StructField, StructType
+
+        labels = _driver_union_find(
+            (r["lo"], r["hi"]) for r in cur_e.toLocalIterator()
+        )
+        node_t = cur_e.schema["lo"].dataType  # node type preserved (str/int/...)
+        out = spark.createDataFrame(
+            labels,
+            StructType(
+                [StructField("name", node_t), StructField("component", node_t)]
+            ),
+        )
+        for df in retired:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        return out
+
     prev = _checksum(e)
+    if prev[0] <= driver_max_edges:
+        return _finish_on_driver(e)
     converged = False
     for _ in range(max_iterations):
         nxt = _small_star(_large_star(e)).localCheckpoint()
         cur = _checksum(nxt)
         retired.append(nxt)
         e = nxt
+        if cur[0] <= driver_max_edges:
+            return _finish_on_driver(e)
         if cur == prev:
             converged = True
             break

@@ -75,3 +75,31 @@ def test_resolve_records_broadcast_join(spark):
     # unknown name falls back to itself (singleton rule)
     assert out["r2"]["nm_resolved"] == "MISSING"
     assert out["r2"]["nm_entity_key"] == "MISSING"
+
+
+def test_cc_distributed_star_matches_driver_union_find(spark):
+    """The size-gated driver fast path and the distributed star alternation
+    must label identically (driver_max_edges=0 forces the star path)."""
+    import random
+
+    rng = random.Random(17)
+    edges = []
+    # several chains + a clique + isolated pair
+    for c in range(5):
+        base = [f"c{c}n{i:02d}" for i in range(12)]
+        edges += list(zip(base, base[1:]))
+    clique = [f"k{i}" for i in range(6)]
+    edges += [(a, b) for a in clique for b in clique if a < b]
+    edges += [("solo_a", "solo_b")]
+    rng.shuffle(edges)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    driver = {
+        r["name"]: r["component"] for r in connected_components(df).collect()
+    }
+    star = {
+        r["name"]: r["component"]
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
+    assert driver == star
+    assert driver["c3n11"] == "c3n00"
+    assert star["k5"] == "k0"
