@@ -143,17 +143,15 @@ class TfidfModel:
             "doc", F.concat(toks, bigrams).alias("terms")
         )
         n_docs = docs.count()
+        # ONE explode + ONE aggregate: tf = occurrence count, df = distinct
+        # containing docs — same values as the explode-twice-and-join shape
+        # with half the scans and no join.
         stats = (
-            with_terms.select(F.explode("terms").alias("term"))
+            with_terms.select("doc", F.explode("terms").alias("term"))
             .groupBy("term")
-            .agg(F.count("*").alias("tf"))
-            .join(
-                with_terms.select(
-                    F.explode(F.array_distinct(F.col("terms"))).alias("term")
-                )
-                .groupBy("term")
-                .agg(F.count("*").alias("df")),
-                "term",
+            .agg(
+                F.count("*").alias("tf"),
+                F.countDistinct("doc").alias("df"),
             )
             .where(F.col("df") <= max_df * n_docs)
             .orderBy(F.desc("tf"), F.asc("term"))
