@@ -152,8 +152,8 @@ def load_synthetic_pairs(n_entities: int = 600, seed: int = 7) -> pd.DataFrame:
 def train(
     pos_csv: str = POS_CSV,
     neg_csv: str = NEG_CSV,
-    n_estimators: int = 600,
-    max_depth: int = 5,
+    n_estimators: int = 400,  # the DEFAULT_TUNE_GRID winner (see metrics)
+    max_depth: int = 6,
     learning_rate: float = 0.08,
     test_frac: float = 0.2,
     threshold: float = DEFAULT_THRESHOLD,
@@ -220,6 +220,12 @@ def train(
     p_test = holdout.predict_proba(X[test_idx])
     f1_holdout = f1_score(y[test_idx], (p_test >= threshold).astype(int))
 
+    # M9 twin: ROC / PR curves + AUCs on the honest holdout, persisted as
+    # data (the reference draws these with matplotlib; see evaluation.py).
+    from name_matching_spark.model.evaluation import evaluation_curves
+
+    curves = evaluation_curves(y[test_idx], p_test)
+
     model = GBMClassifier(
         n_estimators=n_estimators, max_depth=max_depth, learning_rate=learning_rate
     ).fit(X, y)
@@ -245,6 +251,7 @@ def train(
     _atomic_write(os.path.join(model_dir, os.path.basename(MODEL_PATH)), model.to_json())
     _atomic_write(os.path.join(model_dir, os.path.basename(TFIDF_PATH)), tfidf.to_json())
     _atomic_write(os.path.join(model_dir, os.path.basename(CORPUS_PATH)), json.dumps(corpus))
+    _atomic_write(os.path.join(model_dir, "eval_curves.json"), json.dumps(curves))
     metrics = {
         "rows": int(len(y)),
         "positives": int(y.sum()),
@@ -258,6 +265,8 @@ def train(
         "max_depth": max_depth,
         "learning_rate": learning_rate,
         "feature_cols": FEATURE_COLS,
+        "roc_auc_holdout": curves["roc_auc"],
+        "pr_auc_holdout": curves["pr_auc"],
         "tuning": tuning,
         "train_seconds": round(time.time() - t0, 2),
     }

@@ -117,3 +117,33 @@ def test_train_records_tuning_metrics(tmp_path):
     on_disk = json.load(open(os.path.join(tmp_path, "train_metrics.json")))
     assert on_disk["tuning"] == metrics["tuning"]
     assert os.path.exists(os.path.join(tmp_path, "match_gbm.json"))
+
+
+def test_evaluation_curves_known_values():
+    """M9 twin: ROC/PR curve points + AUCs against hand-computed values."""
+    import numpy as np
+
+    from name_matching_spark.model.evaluation import (
+        auc_trapezoid,
+        evaluation_curves,
+        roc_curve_points,
+    )
+
+    y = [1, 0, 1, 0]
+    s = [0.9, 0.8, 0.7, 0.1]
+    fpr, tpr = roc_curve_points(y, s)
+    assert list(fpr) == [0.0, 0.0, 0.5, 0.5, 1.0]
+    assert list(tpr) == [0.0, 0.5, 0.5, 1.0, 1.0]
+    assert abs(auc_trapezoid(fpr, tpr) - 0.75) < 1e-12
+
+    ev = evaluation_curves(y, s)
+    assert ev["roc_auc"] == 0.75
+    assert abs(ev["pr_auc"] - (0.5 + 0.25 * (0.5 + 2 / 3))) < 1e-6
+
+    # perfect separation -> both AUCs 1.0
+    perfect = evaluation_curves([1, 1, 0, 0], [0.9, 0.8, 0.2, 0.1])
+    assert perfect["roc_auc"] == 1.0
+    assert perfect["pr_auc"] == 1.0
+    # tied scores collapse into one threshold step
+    tied = evaluation_curves([1, 0], [0.5, 0.5])
+    assert tied["roc_auc"] == 0.5
