@@ -511,7 +511,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         media = make_media_fixture(spark, n=32)
         out = extract_features(media)
-        return out.select("media_id", "kind", "n_bytes", F.size("feature").alias("dim"))
+        # real decoders for image (PNG) / audio (WAV); video is the declared
+        # stub -> null feature, reported as dim -1
+        return out.select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.coalesce(F.size("feature"), F.lit(-1)).alias("dim"),
+        )
 
     def er_score_pairs(spark, sf):
         from name_matching_spark.functions.normalize import normalize_text_col

@@ -1,12 +1,23 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, decoded in
+Arrow batches.
 
-Images/audio/video ride as ``binary`` columns with a metadata struct; the
-Spark-side machinery (schema, partition-preserving ``mapInPandas``, Arrow
-batch shapes) is real and tested, while the actual codec step is stubbed
-behind ``DECODERS`` — the sandbox ships no image/audio libraries, so the
-default decoder is a deterministic fake that derives "features" from the
-payload bytes.  Swapping in a real decoder is a one-function change; the
-distributed plan is identical.
+Images/audio/video ride as ``binary`` columns with a metadata struct and
+are processed with a partition-preserving ``mapInPandas`` (no shuffle, no
+per-row UDFs).  Two of the three modalities decode FOR REAL with the
+pure-stdlib codecs in functions/codecs.py (PNG: header + inflate +
+scanline unfiltering; WAV: RIFF/PCM16 parse), and the feature step is
+genuine numpy signal/pixel statistics:
+
+* image  -> [width, height, aspect, mean/std per RGB channel, 3x3
+             grayscale grid means]                       (16 floats)
+* audio  -> [duration_s, rms, zero-crossing rate, peak, 12 log-spaced
+             FFT magnitude bins]                         (16 floats)
+* video  -> the one stubbed modality (no pure-python codec is practical;
+             a real deployment swaps in e.g. PyAV frame sampling) —
+             decodes to a null feature, never a batch abort.
+
+The fixture writes real PNG/WAV bytes, so tests exercise actual decoding,
+not byte-shuffling.
 """
 
 from __future__ import annotations
@@ -25,6 +36,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from name_matching_spark.functions import codecs
 
 MEDIA_SCHEMA = StructType(
     [
@@ -47,27 +60,69 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
-
-def _fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
-    """Deterministic stand-in for a real decode+embed step.
-
-    Real deployments replace this with e.g. PIL/torchvision decode +
-    encoder inference; it exists so the Arrow batch path is exercised
-    end-to-end.  Raises like a real decoder on empty payloads."""
-    if payload is None or len(payload) == 0:
-        raise NotImplementedError("empty payload: no codec available in sandbox")
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    chunks = np.array_split(arr.astype(np.float32), dim)
-    return np.array([float(c.mean()) if len(c) else 0.0 for c in chunks], dtype=np.float32)
+FEATURE_DIM = 16
 
 
-DECODERS = {"image": _fake_decode, "audio": _fake_decode, "video": _fake_decode}
+def image_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real decode (functions/codecs.png_decode) + pixel statistics."""
+    rgb = codecs.png_decode(payload).astype(np.float32)
+    h, w, _ = rgb.shape
+    gray = rgb.mean(axis=2)
+    grid = np.zeros(9, dtype=np.float32)
+    ys = np.linspace(0, h, 4).astype(int)
+    xs = np.linspace(0, w, 4).astype(int)
+    for gy in range(3):
+        for gx in range(3):
+            cell = gray[ys[gy] : max(ys[gy + 1], ys[gy] + 1),
+                        xs[gx] : max(xs[gx + 1], xs[gx] + 1)]
+            grid[gy * 3 + gx] = float(cell.mean()) / 255.0
+    feats = np.concatenate(
+        [
+            [float(w), float(h), float(w) / float(h)],
+            rgb.reshape(-1, 3).mean(axis=0) / 255.0,
+            rgb.reshape(-1, 3).std(axis=0) / 255.0,
+            grid[:7],
+        ]
+    ).astype(np.float32)
+    return feats[:dim]
 
 
-def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+def audio_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real decode (functions/codecs.wav_decode) + numpy DSP statistics."""
+    rate, x = codecs.wav_decode(payload)
+    if len(x) == 0:
+        raise ValueError("empty audio")
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+    peak = float(np.abs(x).max())
+    spec = np.abs(np.fft.rfft(x))
+    # 12 log-spaced magnitude bins (normalized), robust to length
+    edges = np.unique(
+        np.geomspace(1, len(spec), 13).astype(int)
+    )
+    bins = np.zeros(12, dtype=np.float32)
+    total = spec.sum() or 1.0
+    for i in range(min(12, len(edges) - 1)):
+        bins[i] = float(spec[edges[i] : edges[i + 1]].sum() / total)
+    feats = np.concatenate([[len(x) / rate, rms, zcr, peak], bins]).astype(np.float32)
+    return feats[:dim]
+
+
+def video_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """STUB — declared, not disguised: no pure-python video codec exists in
+    this environment.  A real deployment swaps in frame sampling + the
+    image path; the Spark-side plumbing is identical."""
+    raise NotImplementedError("no video codec available in sandbox")
+
+
+DECODERS = {"image": image_features, "audio": audio_features, "video": video_features}
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """mapInPandas over Arrow batches: decode each payload, emit a
     fixed-width feature vector.  Partitioning is preserved (no shuffle);
-    failed decodes become null features rather than batch aborts."""
+    failed/unsupported decodes become null features rather than batch
+    aborts (mirrors the reference's error-record pattern)."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -75,11 +130,10 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
             for kind, payload in zip(pdf["kind"], pdf["payload"]):
                 try:
                     decoder = DECODERS[kind]
-                    feats.append(decoder(payload, dim).tolist())
-                    nbytes.append(len(payload))
-                except (KeyError, NotImplementedError):
+                    feats.append([float(v) for v in decoder(payload, dim)])
+                except (KeyError, NotImplementedError, ValueError):
                     feats.append(None)
-                    nbytes.append(0 if payload is None else len(payload))
+                nbytes.append(0 if payload is None else len(payload))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -93,22 +147,37 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
 
 
 def make_media_fixture(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table for tests/benchmarks."""
+    """Deterministic media table with REAL payloads: random-pixel PNGs,
+    sine-plus-noise PCM16 WAVs, opaque bytes for video."""
     rng = np.random.default_rng(seed)
-    kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
-        kind = kinds[i % 3]
-        payload = bytes(rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8))
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w, h = int(rng.integers(4, 17)), int(rng.integers(4, 17))
+            payload = codecs.png_encode(
+                rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            )
+            meta = (w, h, None)
+        elif kind == "audio":
+            rate = 8000
+            t = np.arange(int(rng.integers(400, 1600))) / rate
+            f0 = float(rng.uniform(100, 1000))
+            x = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.05 * rng.standard_normal(len(t))
+            payload = codecs.wav_encode((x * 20000).astype(np.int16), rate)
+            meta = (None, None, int(1000 * len(t) / rate))
+        else:
+            payload = bytes(rng.integers(0, 256, size=256, dtype=np.uint8))
+            meta = (None, None, 1000)
         rows.append(
             (
                 f"m{i:05d}",
                 kind,
                 payload,
                 {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                64 if kind == "image" else None,
-                64 if kind == "image" else None,
-                1000 if kind != "image" else None,
+                meta[0],
+                meta[1],
+                meta[2],
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

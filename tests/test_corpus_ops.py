@@ -107,13 +107,29 @@ def test_text_analysis(docs):
     assert fp[0] != fp[3]
 
 
-def test_multimodal_plumbing(spark):
+def test_multimodal_real_decode(spark):
     media = make_media_fixture(spark, n=12)
-    out = extract_features(media, dim=8).collect()
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
     assert len(out) == 12
-    for r in out:
-        assert r["feature"] is not None and len(r["feature"]) == 8
+    fixture = {r["media_id"]: r for r in media.collect()}
+    for mid, r in out.items():
+        kind = r["kind"]
         assert r["n_bytes"] > 0
+        if kind == "video":  # the one declared stub: null feature, no abort
+            assert r["feature"] is None
+            continue
+        assert r["feature"] is not None and len(r["feature"]) == 16
+        if kind == "image":
+            # features 0/1 are the REAL decoded width/height — must match
+            # the metadata the fixture wrote
+            assert int(r["feature"][0]) == fixture[mid]["width"]
+            assert int(r["feature"][1]) == fixture[mid]["height"]
+            # channel means are normalized pixels
+            assert all(0.0 <= v <= 1.0 for v in r["feature"][3:6])
+        if kind == "audio":
+            # feature 0 is the decoded duration in seconds
+            assert abs(r["feature"][0] * 1000 - fixture[mid]["duration_ms"]) < 1.0
+            assert 0.0 < r["feature"][1] <= 1.0  # rms of the sine fixture
     # empty payload -> null feature, not a batch abort
     from name_matching_spark.operators.multimodal import MEDIA_SCHEMA
 
