@@ -53,7 +53,8 @@ SURVEY §2 coverage map (operator id -> where it is exercised):
 
 Corpus-scale extras: d1 exact dedup, d2/d2b MinHash-LSH, d3 SimHash,
 d4 n-gram Jaccard, d5 embedding cosine, ann1 brute-force top-k,
-ann2 LSH ANN, t1-t4 text analysis, mm1 multimodal plumbing.
+ann2 LSH ANN (+ recall-vs-exact gate), t1-t4 text analysis,
+mm1 multimodal (real PNG/WAV decode; video stubbed).
 """
 
 from __future__ import annotations
@@ -597,9 +598,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB equivalents.  Omitted (rows-only check): ann2_lsh_topk
-    (approximate by design), mm1_multimodal_features (binary fixture),
-    er_score_pairs (GBM not SQL-expressible)."""
+    """DuckDB equivalents.  Omitted (rows-only check): ann2_lsh_topk and
+    ann2_recall_vs_exact (sign-LSH bucketing not SQL-expressible; the
+    recall query's VALUES are the quantitative check, gated >= 0.9 in
+    tests/test_corpus_ops.py), mm1_multimodal_features (binary fixture;
+    decoded dims checked in tests/test_corpus_ops.py), er_score_pairs
+    (GBM not SQL-expressible; decision semantics gated by
+    tests/test_model_gate.py)."""
     md5_60 = "cast(('0x'||substr(md5({x}),1,15)) as bigint)"
     md5_28 = "cast(('0x'||substr(md5({x}),1,7)) as bigint)"
     return {
