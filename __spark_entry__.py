@@ -49,7 +49,8 @@ SURVEY §2 coverage map (operator id -> where it is exercised):
   M6  clustering                      -> m6_connected_components (recursive-CTE oracle)
   M7  singleton entities              -> entity_table left-anti (tests/test_clustering.py)
   M8  resolved-edge graph             -> m5 + P6 composition (golden-cluster test)
-  M9  visualizations                  -> not ported (metrics tables instead, per SURVEY)
+  M9  visualizations                  -> model/evaluation.py: ROC/PR curves + AUCs as data
+                                         artifacts (models/eval_curves.json)
 
 Corpus-scale extras: d1 exact dedup, d2/d2b MinHash-LSH, d3 SimHash,
 d4 n-gram Jaccard, d5 embedding cosine, ann1 brute-force top-k,
