@@ -150,7 +150,9 @@ def candidate_pairs(
         bands=bands,
         rows_per_band=rows_per_band,
         use_metaphone=use_metaphone,
-    )
+    ).localCheckpoint()  # referenced 4x below (sizes agg + both join sides):
+    # without materialization the metaphone UDF + MinHash aggregates
+    # re-execute per reference (Catalyst does not CSE across subplans)
     sizes = keys.groupBy("key").agg(F.count("*").alias("block_size"))
     keys = keys.join(
         sizes.where((F.col("block_size") >= 2) & (F.col("block_size") <= max_block)),
