@@ -46,11 +46,16 @@ class EntityResolutionPipeline:
         max_block: int = 100,
         run_id: str | None = None,
         keep_features: bool = False,
+        clustering: str = "cc",
     ):
         self.spark = spark
         self.ckpt = CheckpointManager(spark, warehouse, run_id)
         self.threshold = threshold
         self.max_block = max_block
+        # "cc" (default): distributed connected components — the north
+        # rule's transitive clustering.  "louvain": the reference's exact
+        # community semantics (driver-side, size-gated; operators/louvain.py).
+        self.clustering = clustering
         # keep_features=True persists all 12 per-pair feature columns in the
         # scored_pairs checkpoint (debugging/analysis); default off — at
         # scale it multiplies the Arrow + parquet volume 13x.
@@ -139,15 +144,21 @@ class EntityResolutionPipeline:
             params=score_params,
         )
         matches = scored.where(F.col("prediction") == 1)
+        if self.clustering == "louvain":
+            from name_matching_spark.operators.louvain import louvain_communities
+
+            cluster_fn = louvain_communities
+        else:
+            cluster_fn = connected_components
         components = self._stage(
             "components",
-            lambda: connected_components(
+            lambda: cluster_fn(
                 matches.select(
                     F.col("name_x").alias("src"), F.col("name_y").alias("dst")
                 )
             ),
             inputs=["scored_pairs"],
-            params=score_params,
+            params={**score_params, "clustering": self.clustering},
         )
         entities = self._stage(
             "entities",
