@@ -47,6 +47,7 @@ SURVEY §2 coverage map (operator id -> where it is exercised):
   M4  probability rounding (4dp)      -> inside scorer (probability col) + m3 oracle
   M5  match-graph build               -> m5_edges_canonical
   M6  clustering                      -> m6_connected_components (recursive-CTE oracle)
+                                         + m6b_louvain (reference-parity Louvain, rows-only)
   M7  singleton entities              -> entity_table left-anti (tests/test_clustering.py)
   M8  resolved-edge graph             -> m5 + P6 composition (golden-cluster test)
   M9  visualizations                  -> model/evaluation.py: ROC/PR curves + AUCs as data
@@ -424,6 +425,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("name").alias("node"), F.col("component").alias("comp")
         )
 
+    def m6b_louvain(spark, sf):
+        # Reference-parity clustering semantics (entity_resolution.py:268
+        # uses networkx louvain_communities); from-scratch deterministic
+        # Louvain, driver-side + size-gated.  No SQL oracle (modularity
+        # optimization is not SQL-expressible); golden-cluster parity and
+        # CC-agreement are pytest-gated (tests/test_louvain.py).
+        from name_matching_spark.operators.louvain import louvain_communities
+
+        li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") < 200)
+        edges = li.select(
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        return louvain_communities(edges).select(
+            F.col("name").alias("node"), F.col("component").alias("comm")
+        )
+
     def d1_exact_dedup(spark, sf):
         return dd.exact_dedup(_t(spark, sf, "documents")).select(
             F.col("doc_id").alias("key"), "dup_count"
@@ -580,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m3_threshold_decision": m3_threshold_decision,
         "m5_edges_canonical": m5_edges_canonical,
         "m6_connected_components": m6_connected_components,
+        "m6b_louvain": m6b_louvain,
         "d1_exact_dedup": d1_exact_dedup,
         "d2_minhash_lsh_pairs": d2_minhash_lsh_pairs,
         "d2b_minhash_signature": d2b_minhash_signature,
