@@ -73,3 +73,25 @@ def test_block_purge_cap(spark):
     # far below the 150*149/2 = 11,175 full quadratic
     pairs = candidate_pairs(names, max_block=100)
     assert pairs.count() < 6000
+
+
+def test_scorer_plan_single_udf_evaluation(spark):
+    """Regression lock for the double-evaluation bug: a filter on the
+    scorer's output pushed through the repartition exchange used to
+    DUPLICATE the ArrowEvalPython node (running the whole GBM scorer
+    twice, the first copy at pre-shuffle parallelism).  The plan must
+    contain exactly ONE ArrowEvalPython, above the exchange."""
+    from name_matching_spark.model.train import load_artifacts
+    from name_matching_spark.operators.scoring import score_pairs
+
+    model, tfidf = load_artifacts()
+    pairs = spark.createDataFrame(
+        [("A B", "A C")] * 10, ["name_x", "name_y"]
+    ).localCheckpoint()
+    out = score_pairs(
+        pairs.repartition(8), model.to_json(), tfidf.to_json()
+    ).where(F.col("prediction") == 1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    # the single evaluation sits ABOVE the exchange (post-shuffle)
+    assert plan.index("ArrowEvalPython") < plan.index("Exchange"), plan

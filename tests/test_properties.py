@@ -112,3 +112,63 @@ def test_normalize_spark_parity_random(spark, data):
     ]
     want = [normalize_text(t, remove_numbers=True, remove_stopwords=False) for t in ts]
     assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(names, names), min_size=1, max_size=10))
+def test_partial_ratio_reference_properties(pairs):
+    xs = [a for a, _ in pairs]
+    ys = [b for _, b in pairs]
+    out = sim.partial_ratio_reference_batch(xs, ys)
+    assert all(0 <= v <= 100 for v in out)
+    # substring (incl. equality) always scores 100; symmetric by definition
+    for x, y, v in zip(xs, ys, out):
+        s, l = (x, y) if len(x) <= len(y) else (y, x)
+        if s in l:
+            assert v == 100
+        assert v == sim.partial_ratio_reference(y, x)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(names, names), min_size=1, max_size=12))
+def test_levenshtein_metric_properties(pairs):
+    xs = [a for a, _ in pairs]
+    ys = [b for _, b in pairs]
+    d = sim.levenshtein_batch(xs, ys)
+    rev = sim.levenshtein_batch(ys, xs)
+    for x, y, v, r in zip(xs, ys, d, rev):
+        assert v == r  # symmetry
+        assert (v == 0) == (x == y)  # identity of indiscernibles
+        assert abs(len(x) - len(y)) <= v <= max(len(x), len(y))  # bounds
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_louvain_partition_properties(edge_ints):
+    from name_matching_spark.operators.louvain import louvain_driver
+
+    edges = [(f"n{a:02d}", f"n{b:02d}") for a, b in edge_ints]
+    labels = louvain_driver(edges)
+    nodes = {n for e in edges for n in e}
+    assert set(labels) == nodes  # every node labeled
+    # each community's label is its min member (canonical-label convention)
+    from collections import defaultdict
+
+    comm = defaultdict(set)
+    for n, c in labels.items():
+        comm[c].add(n)
+    for c, members in comm.items():
+        assert c == min(members)
+    # communities refine connected components (never merge across them)
+    cc = louvain_driver([])  # build CC via union-find on the same edges
+    from name_matching_spark.operators.clustering import _driver_union_find
+
+    cc_labels = dict(_driver_union_find(edges))
+    for n, c in labels.items():
+        assert cc_labels[n] == cc_labels[c]  # label is inside n's component
