@@ -131,7 +131,13 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    band_rows = sigs.select("key", F.explode(bucket_arr).alias("bucket"))
+    # Materialize the banded table once: the self-join references it on
+    # BOTH sides, and an unmaterialized projection would re-run the md5 +
+    # K-hash signature aggregate per side.  (At scale this table is the
+    # thing you persist/bucket anyway.)
+    band_rows = sigs.select(
+        "key", F.explode(bucket_arr).alias("bucket")
+    ).localCheckpoint()
     a, b_ = band_rows.alias("a"), band_rows.alias("b")
     return (
         a.join(b_, "bucket")
