@@ -121,12 +121,16 @@ def test_partial_ratio_reference_properties(pairs):
     ys = [b for _, b in pairs]
     out = sim.partial_ratio_reference_batch(xs, ys)
     assert all(0 <= v <= 100 for v in out)
-    # substring (incl. equality) always scores 100; symmetric by definition
+    # substring (incl. equality) always scores 100
     for x, y, v in zip(xs, ys, out):
         s, l = (x, y) if len(x) <= len(y) else (y, x)
         if s in l:
             assert v == 100
-        assert v == sim.partial_ratio_reference(y, x)
+        # fuzzywuzzy quirk preserved faithfully: the <= tie in the
+        # shorter/longer pick makes EQUAL-length pairs order-dependent,
+        # so symmetry only holds for unequal lengths.
+        if len(x) != len(y):
+            assert v == sim.partial_ratio_reference(y, x)
 
 
 @settings(max_examples=60, deadline=None)
