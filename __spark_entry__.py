@@ -12,7 +12,8 @@ SURVEY §2 coverage map (operator id -> where it is exercised):
   S4  sink / per-stage checkpoints    -> io/checkpoint.py (tests/test_pipeline.py resume test)
   S5  model artifact load/save        -> model/train.py JSON artifacts + broadcast (er_score_pairs)
   S6  REST serving                    -> replaced by batch scorer per north star; incremental
-                                         path = streaming/stream_resolve.py (tests)
+                                         path = streaming/stream_resolve.py: watermarked
+                                         windows + applyInPandasWithState stateful collapse
   S7  LLM/Faker data generators       -> replaced by datagen.py (deterministic, offline)
   P1  process_text_standard           -> p1_normalize_text (+ byte-parity tests)
   P2  uppercasing                     -> p2_upper
