@@ -55,6 +55,7 @@ SURVEY §2 coverage map (operator id -> where it is exercised):
                                          artifacts (models/eval_curves.json)
 
 Corpus-scale extras: d1 exact dedup, d2/d2b MinHash-LSH, d3 SimHash,
+d6 composed dedup pipeline (exact -> LSH -> verify, full SQL oracle),
 d4 n-gram Jaccard, d5 embedding cosine, ann1 brute-force top-k,
 ann2 LSH ANN (+ recall-vs-exact gate), t1-t4 text analysis,
 mm1 multimodal (real PNG/WAV decode; video stubbed).
@@ -460,6 +461,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "key", *[F.col("sig")[i].alias(f"h{i}") for i in range(4)]
         )
 
+    def d6_dedup_pipeline(spark, sf):
+        # the composed flow: exact dedup -> LSH candidates over survivors
+        # -> n-gram Jaccard verify -> drop list (fully oracle-checkable)
+        return dd.dedup_pipeline(
+            _t(spark, sf, "documents"), bands=4, rows_per_band=4, min_jaccard=0.5
+        )
+
     def d3_simhash(spark, sf):
         return dd.simhash(_t(spark, sf, "documents"), bits=16)
 
@@ -604,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d1_exact_dedup": d1_exact_dedup,
         "d2_minhash_lsh_pairs": d2_minhash_lsh_pairs,
         "d2b_minhash_signature": d2b_minhash_signature,
+        "d6_dedup_pipeline": d6_dedup_pipeline,
         "d3_simhash": d3_simhash,
         "d4_ngram_jaccard": d4_ngram_jaccard,
         "d5_embedding_cosine": d5_embedding_cosine,
@@ -848,6 +857,54 @@ def oracle_sql() -> dict[str, str]:
               from sig cross join (select unnest(range(0, 4)) as band) b)
             select distinct a.doc_id as key_x, c.doc_id as key_y
             from bands a join bands c on a.bucket = c.bucket and a.doc_id < c.doc_id
+        """,
+        "d6_dedup_pipeline": f"""
+            with exact as (select min(doc_id) as keep_id from documents group by text),
+            dropped_exact as (
+              select doc_id as key, 'exact_dup' as reason from documents
+              where doc_id not in (select keep_id from exact)),
+            surv as (select * from documents where doc_id in (select keep_id from exact)),
+            toks as (select doc_id, string_split(text, ' ') as l from surv),
+            sh as (
+              select doc_id,
+                     case when len(l) >= 3 then
+                       list_distinct(list_transform(range(0, len(l) - 2),
+                         i -> array_to_string(l[i+1:i+3], ' ')))
+                     else [array_to_string(l, ' ')] end as shingles
+              from toks),
+            base as (select doc_id, list_transform(shingles, s -> {md5_28.format(x='s')}) as hs from sh),
+            sig as (
+              select doc_id,
+                     list_transform(range(0, 16),
+                       k -> list_min(list_transform(hs,
+                              v -> (v * (2*k + 3) + (7*k + 1)) % 2147483647))) as sig
+              from base),
+            bands as (
+              select doc_id,
+                     b.band::varchar || '_' ||
+                       sig[b.band*4 + 1]::varchar || '_' || sig[b.band*4 + 2]::varchar || '_' ||
+                       sig[b.band*4 + 3]::varchar || '_' || sig[b.band*4 + 4]::varchar as bucket
+              from sig cross join (select unnest(range(0, 4)) as band) b),
+            cand as (
+              select distinct a.doc_id as key_x, c.doc_id as key_y
+              from bands a join bands c on a.bucket = c.bucket and a.doc_id < c.doc_id),
+            g as (
+              select doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(length(text) - 2, 1) + 1),
+                       i -> substring(text, i::int, 3))) as grams
+              from surv),
+            verified as (
+              select key_x, key_y,
+                     round(len(list_intersect(gx.grams, gy.grams))::double
+                           / len(list_distinct(list_concat(gx.grams, gy.grams))), 6) as j
+              from cand
+              join g gx on gx.doc_id = key_x
+              join g gy on gy.doc_id = key_y),
+            dropped_near as (
+              select distinct key_y as key, 'near_dup' as reason
+              from verified where j >= 0.5)
+            select * from dropped_exact union all select * from dropped_near
         """,
         "d2b_minhash_signature": f"""
             with toks as (select doc_id, string_split(text, ' ') as l from documents),

@@ -208,6 +208,47 @@ def ngram_jaccard_pairs(
     return out.where(F.col("jaccard") >= min_jaccard)
 
 
+def dedup_pipeline(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """The composed training-data dedup flow: exact dedup -> MinHash-LSH
+    candidates over the exact survivors -> char-n-gram Jaccard
+    verification -> the drop list.
+
+    Output: (key, reason) — ``exact_dup`` for every non-minimal member of
+    an identical-text group, ``near_dup`` for the larger member of each
+    verified near-duplicate pair among the survivors.  Every stage is a
+    hash aggregate / bucketed join (sub-quadratic end to end)."""
+    keep = exact_dedup(docs, text_col, key_col).select(key_col)
+    exact_drops = docs.join(keep, key_col, "left_anti").select(
+        F.col(key_col).alias("key"), F.lit("exact_dup").alias("reason")
+    )
+    survivors = docs.join(keep, key_col)
+    cands = minhash_lsh_pairs(
+        survivors,
+        text_col,
+        key_col,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        shingle_n=shingle_n,
+    )
+    verified = ngram_jaccard_pairs(
+        cands, survivors, text_col, key_col, n=shingle_n, min_jaccard=min_jaccard
+    )
+    near_drops = (
+        verified.select(F.col("key_y").alias("key"))
+        .distinct()
+        .withColumn("reason", F.lit("near_dup"))
+    )
+    return exact_drops.unionByName(near_drops)
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     pairs: DataFrame,
