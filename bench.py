@@ -33,6 +33,7 @@ OPERATOR_QUERIES = [
     "j1_block_pairs",
     "j4_broadcast_lookup",
     "d2_minhash_lsh_pairs",
+    "d6_dedup_pipeline",
     "d3_simhash",
     "ann1_bruteforce_topk",
     "t2_quality_score",
