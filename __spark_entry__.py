@@ -103,7 +103,9 @@ def entry(spark: SparkSession) -> DataFrame:
             F.col("name_x").alias("src"), F.col("name_y").alias("dst")
         )
     )
-    return entity_table(comps, names).orderBy("name")
+    # No trailing orderBy: a global sort is a total exchange over the full
+    # entity table, and the driver harness sorts rows before hashing anyway.
+    return entity_table(comps, names)
 
 
 # ---------------------------------------------------------------------------

@@ -338,12 +338,17 @@ def partial_ratio_reference(x: str, y: str) -> int:
     Fast path: when the shorter string occurs verbatim in the longer one,
     some block window equals it exactly and the published algorithm
     returns 100 — checked with ``in`` before any SequenceMatcher work.
+    Only valid below difflib's autojunk threshold: for len(longer) >= 200
+    SequenceMatcher (autojunk=True, fuzzywuzzy's default) treats popular
+    characters of the longer side as junk and can score an exact substring
+    well under 100, so long inputs fall through to the block-based path,
+    which reproduces autojunk behavior exactly.
     """
     if len(x) <= len(y):
         shorter, longer = x, y
     else:
         shorter, longer = y, x
-    if shorter in longer:
+    if len(longer) < 200 and shorter in longer:
         return 100
     m = SequenceMatcher(None, shorter, longer)
     blocks = m.get_matching_blocks()

@@ -150,27 +150,39 @@ def minhash_lsh_pairs(
 def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """(key, simhash: long) — majority-vote bit signature over token md5s.
 
-    Native plan: explode tokens -> per-(doc, bit) vote via shiftright/AND ->
-    hash-aggregate back.  One shuffle, no UDFs."""
-    toks = docs.select(
-        F.col(key_col).alias("key"),
-        F.explode(F.array_distinct(F.split(F.col(text_col), r"\s+"))).alias("tok"),
-    ).withColumn("h", _md5_long(F.col("tok")))
-    votes = toks.select(
-        "key",
-        *[
-            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
-            for i in range(bits)
-        ],
+    Native ZERO-shuffle plan: per row, a single higher-order ``aggregate``
+    over the distinct-token array folds every token's ±1 bit votes into one
+    array<long> accumulator, then a second fold turns the vote signs into
+    the packed signature.  (The previous explode -> 32 per-bit sum columns
+    -> re-aggregate version carried a shuffle plus 32-wide aggregation
+    state; this one is a narrow map — nothing to spill, nothing to
+    exchange, and at 100 TB the signature costs exactly one corpus scan.)
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), r"\s+"))
+    hashes = F.transform(toks, lambda t: _md5_long(t))
+    init = F.array(*[F.lit(0).cast("long")] * bits)
+
+    def step(acc, h):
+        vote = F.array(
+            *[
+                (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                for i in range(bits)
+            ]
+        )
+        return F.zip_with(acc, vote, lambda a, v: a + v)
+
+    sums = F.aggregate(hashes, init, step)
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    sim = F.aggregate(
+        F.zip_with(
+            sums,
+            weights,
+            lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
-    agg = votes.groupBy("key").agg(
-        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)]
-    )
-    sim = None
-    for i in range(bits):
-        bit = F.when(F.col(f"s{i}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << i)
-        sim = bit if sim is None else sim + bit
-    return agg.select("key", sim.cast("long").alias("simhash"))
+    return docs.select(F.col(key_col).alias("key"), sim.alias("simhash"))
 
 
 def char_ngrams(col: Column, n: int = 3) -> Column:
@@ -190,8 +202,24 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_jaccard: float = 0.0,
 ) -> DataFrame:
-    """Verify candidate pairs with exact char-n-gram Jaccard (set semantics)."""
-    d = docs.select(F.col(key_col).alias("key"), char_ngrams(F.col(text_col), n).alias("grams"))
+    """Verify candidate pairs with exact char-n-gram Jaccard (set semantics).
+
+    Gram computation is bounded to keys that actually appear in ``pairs``
+    (semi-join first) and materialized ONCE: at scale candidates are a tiny
+    fraction of the corpus, and the gram table is referenced by BOTH join
+    sides — unmaterialized, Catalyst would re-run the full-corpus gram
+    projection per side (no CSE across subplans)."""
+    cand_keys = (
+        pairs.select(F.col("key_x").alias("key"))
+        .unionByName(pairs.select(F.col("key_y").alias("key")))
+        .distinct()
+    )
+    d = (
+        docs.select(F.col(key_col).alias("key"), F.col(text_col).alias("__t"))
+        .join(cand_keys, "key")
+        .select("key", char_ngrams(F.col("__t"), n).alias("grams"))
+        .localCheckpoint()
+    )
     out = (
         pairs.join(d.withColumnRenamed("key", "key_x").withColumnRenamed("grams", "gx"), "key_x")
         .join(d.withColumnRenamed("key", "key_y").withColumnRenamed("grams", "gy"), "key_y")
@@ -216,6 +244,7 @@ def dedup_pipeline(
     rows_per_band: int = 4,
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
+    verify_ngram_n: int = 3,
 ) -> DataFrame:
     """The composed training-data dedup flow: exact dedup -> MinHash-LSH
     candidates over the exact survivors -> char-n-gram Jaccard
@@ -224,12 +253,32 @@ def dedup_pipeline(
     Output: (key, reason) — ``exact_dup`` for every non-minimal member of
     an identical-text group, ``near_dup`` for the larger member of each
     verified near-duplicate pair among the survivors.  Every stage is a
-    hash aggregate / bucketed join (sub-quadratic end to end)."""
-    keep = exact_dedup(docs, text_col, key_col).select(key_col)
-    exact_drops = docs.join(keep, key_col, "left_anti").select(
-        F.col(key_col).alias("key"), F.lit("exact_dup").alias("reason")
+    hash aggregate / bucketed join (sub-quadratic end to end).
+
+    ``shingle_n`` is the MinHash WORD-shingle size; ``verify_ngram_n`` is
+    the CHAR-n-gram size of the Jaccard verification step — unrelated
+    knobs, kept separate so tuning the LSH stage never silently changes
+    verification semantics.
+
+    Plan shape: each doc row is tagged with its identical-text group's
+    winner via one window-min (one shuffle, one corpus scan) and the tagged
+    table is materialized ONCE — both the drop branch and the survivor
+    branch are then narrow filters over it.  (An unmaterialized groupBy
+    referenced by two joins re-runs the aggregate AND the corpus scan per
+    branch: Catalyst does not CSE across subplans, cf. blocking.py.)"""
+    from pyspark.sql.window import Window
+
+    tagged = docs.select(
+        F.col(key_col).alias("key"),
+        F.col(text_col).alias("__text"),
+        F.min(key_col).over(Window.partitionBy(text_col)).alias("__keep_key"),
+    ).localCheckpoint()
+    exact_drops = tagged.where(F.col("key") != F.col("__keep_key")).select(
+        "key", F.lit("exact_dup").alias("reason")
     )
-    survivors = docs.join(keep, key_col)
+    survivors = tagged.where(F.col("key") == F.col("__keep_key")).select(
+        F.col("key").alias(key_col), F.col("__text").alias(text_col)
+    )
     cands = minhash_lsh_pairs(
         survivors,
         text_col,
@@ -239,7 +288,7 @@ def dedup_pipeline(
         shingle_n=shingle_n,
     )
     verified = ngram_jaccard_pairs(
-        cands, survivors, text_col, key_col, n=shingle_n, min_jaccard=min_jaccard
+        cands, survivors, text_col, key_col, n=verify_ngram_n, min_jaccard=min_jaccard
     )
     near_drops = (
         verified.select(F.col("key_y").alias("key"))

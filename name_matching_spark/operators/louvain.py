@@ -13,10 +13,13 @@ Mech. 2008), implemented from scratch, made DETERMINISTIC by visiting
 nodes in sorted order and breaking gain ties toward the smaller community
 label.
 
-Scale position: Louvain is inherently global/iterative; this runs on the
-driver behind the same explicit size gate the CC fast path uses.  Above
-the gate, use connected components (or run Louvain per CC component,
-which is how community detection composes at scale)."""
+Scale position: Louvain is inherently iterative, but it composes at scale
+per connected component.  At or under the size gate the whole graph runs
+on the driver; above it, distributed CC partitions the graph and Louvain
+runs inside each component in parallel (``applyInPandas``) with the
+global 2m normalizer — exactly equivalent to global Louvain (communities
+never span components).  The gate then bounds the largest single
+component, with a loud raise if one exceeds it."""
 
 from __future__ import annotations
 
@@ -74,9 +77,17 @@ def _aggregate(adj: dict, comm: dict) -> dict:
     return out
 
 
-def louvain_driver(edge_list, resolution: float = 1.0, max_levels: int = 20) -> dict:
+def louvain_driver(
+    edge_list, resolution: float = 1.0, max_levels: int = 20, m2: float | None = None
+) -> dict:
     """{node: community-min-node-label} for an undirected edge list of
-    (a, b) pairs (weight 1 each; parallel edges accumulate)."""
+    (a, b) pairs (weight 1 each; parallel edges accumulate).
+
+    ``m2`` overrides the 2x-total-weight normalizer: the per-component
+    distributed path passes the WHOLE graph's 2m so each component's local
+    moves compute exactly the same modularity gains the global algorithm
+    would (communities never span components — every other term in the
+    gain formula is component-local)."""
     adj: dict = {}
     for a, b in edge_list:
         if a == b:
@@ -87,7 +98,8 @@ def louvain_driver(edge_list, resolution: float = 1.0, max_levels: int = 20) -> 
         rb[a] = rb.get(a, 0.0) + 1.0
     if not adj:
         return {}
-    m2 = sum(sum(nbrs.values()) for nbrs in adj.values())  # = 2m
+    if m2 is None:
+        m2 = sum(sum(nbrs.values()) for nbrs in adj.values())  # = 2m
     # node -> community, refined level by level
     mapping = {u: u for u in adj}
     level_adj = adj
@@ -118,7 +130,19 @@ def louvain_communities(
 ) -> DataFrame:
     """(name, component) via Louvain; same output contract as
     connected_components so the two are drop-in interchangeable in
-    entity_table.  Size-gated driver execution (see module docstring)."""
+    entity_table.
+
+    Size-adaptive: at or under ``max_edges`` the whole (deduplicated)
+    graph runs on the driver.  Above it, the graph is first partitioned by
+    distributed connected components, then Louvain runs INSIDE each
+    component in parallel (``applyInPandas``) with the global 2m passed
+    down — mathematically identical to global Louvain, because communities
+    never span components and the global normalizer is the only non-local
+    term in the gain formula.  ``max_edges`` then bounds the largest
+    single COMPONENT (a loud raise, never a truncation), which is the
+    honest scale unit: a modularity cluster is at most a component."""
+    from pyspark.sql.types import StructField, StructType
+
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("lo"),
@@ -129,17 +153,42 @@ def louvain_communities(
         .localCheckpoint()
     )
     n = e.count()
-    if n > max_edges:
-        raise ValueError(
-            f"louvain_communities is driver-side and size-gated: {n} edges > "
-            f"{max_edges}; use connected_components (or Louvain per component)"
-        )
-    labels = louvain_driver((r["lo"], r["hi"]) for r in e.toLocalIterator())
     spark = edges.sparkSession
-    from pyspark.sql.types import StructField, StructType
-
     node_t = e.schema["lo"].dataType
-    return spark.createDataFrame(
-        sorted(labels.items()),
-        StructType([StructField("name", node_t), StructField("component", node_t)]),
+    out_schema = StructType(
+        [StructField("name", node_t), StructField("component", node_t)]
     )
+    if n <= max_edges:
+        labels = louvain_driver(
+            ((r["lo"], r["hi"]) for r in e.toLocalIterator()), resolution=resolution
+        )
+        return spark.createDataFrame(sorted(labels.items()), out_schema)
+
+    # Distributed path: CC partitions the graph, Louvain runs per component.
+    from name_matching_spark.operators.clustering import connected_components
+
+    import pandas as pd
+
+    comp = connected_components(e, src="lo", dst="hi")
+    m2 = 2.0 * n  # every deduplicated edge has weight 1
+    ec = e.join(
+        comp.select(F.col("name").alias("lo"), F.col("component").alias("cid")),
+        "lo",
+    )
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_edges:
+            raise ValueError(
+                f"louvain component with {len(pdf)} edges exceeds the "
+                f"per-component gate {max_edges}; raise max_edges or use "
+                f"connected_components"
+            )
+        labels = louvain_driver(
+            zip(pdf["lo"], pdf["hi"]), resolution=resolution, m2=m2
+        )
+        items = sorted(labels.items())
+        return pd.DataFrame(
+            {"name": [u for u, _ in items], "component": [c for _, c in items]}
+        )
+
+    return ec.groupBy("cid").applyInPandas(_run, schema=out_schema)

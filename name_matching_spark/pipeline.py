@@ -150,6 +150,7 @@ class EntityResolutionPipeline:
             cluster_fn = louvain_communities
         else:
             cluster_fn = connected_components
+        cluster_params = {**score_params, "clustering": self.clustering}
         components = self._stage(
             "components",
             lambda: cluster_fn(
@@ -158,19 +159,23 @@ class EntityResolutionPipeline:
                 )
             ),
             inputs=["scored_pairs"],
-            params={**score_params, "clustering": self.clustering},
+            params=cluster_params,
         )
+        # Downstream-of-clustering stages must carry the clustering choice in
+        # their params too: otherwise a resume with clustering='louvain'
+        # recomputes components but silently serves stale entities/resolved
+        # tables built from the old CC components.
         entities = self._stage(
             "entities",
             lambda: entity_table(components, names),
             inputs=["components", "names"],
-            params=score_params,
+            params=cluster_params,
         )
         resolved = self._stage(
             "resolved_conversations",
             lambda: resolve_records(conv, entities, ["name"]),
             inputs=["conversations", "entities"],
-            params=score_params,
+            params=cluster_params,
         )
         return {
             "conversations": conv,

@@ -135,9 +135,42 @@ def stateful_turn_collapse(stream: DataFrame) -> DataFrame:
     )
 
 
+class EntityTokenIndex:
+    """The stream-side blocking index over the entity table: the exploded
+    ``(tok, entity_key, cand)`` rows, materialized ONCE per entity-table
+    refresh and reused by every micro-batch.
+
+    The entity table only changes when the batch pipeline reruns, while
+    :func:`assign_stream_batch` fires per trigger — without this, each
+    micro-batch re-scans and re-explodes the full entity table (at design
+    scale that table is large; per-trigger recompute is the cost that
+    kills the lambda split).  ``localCheckpoint`` (eager) truncates the
+    lineage so the explode runs exactly once; when the index is small
+    enough we also attach a broadcast hint so the per-batch token join is
+    map-side, shuffling only the (tiny) micro-batch side."""
+
+    def __init__(
+        self,
+        entities: DataFrame,
+        min_token_len: int = 2,
+        broadcast_max_rows: int = 2_000_000,
+    ):
+        et = (
+            entities.select("entity_key", F.col("resolved_name").alias("cand"))
+            .withColumn("tok", F.explode(F.split(F.col("cand"), " ")))
+            .where(F.length("tok") >= min_token_len)
+        )
+        self.index = et.localCheckpoint()  # eager: explode runs here, once
+        self.n_rows = self.index.count()  # cheap over the checkpointed RDD
+        self.broadcastable = self.n_rows <= broadcast_max_rows
+
+    def join_side(self) -> DataFrame:
+        return F.broadcast(self.index) if self.broadcastable else self.index
+
+
 def assign_stream_batch(
     new_names: DataFrame,
-    entities: DataFrame,
+    entities: DataFrame | EntityTokenIndex,
     model_json: str,
     tfidf_json: str,
     threshold: float = 0.85,
@@ -146,16 +179,16 @@ def assign_stream_batch(
     canonical names that share a token (cheap blocking), assign the best
     match >= threshold, else mark pending.
 
-    entities: (entity_key, resolved_name) — the batch pipeline's output."""
+    entities: the batch pipeline's (entity_key, resolved_name) output, or —
+    preferred for a long-running query — a prebuilt :class:`EntityTokenIndex`
+    so the entity-side explode is NOT recomputed every micro-batch."""
+    idx = entities if isinstance(entities, EntityTokenIndex) else EntityTokenIndex(entities)
     nn = new_names.select("conv_id", "name").dropDuplicates(["name", "conv_id"])
     nt = nn.select(
         "conv_id", "name", F.explode(F.split("name", " ")).alias("tok")
     ).where(F.length("tok") >= 2)
-    et = entities.select(
-        "entity_key", F.col("resolved_name").alias("cand")
-    ).withColumn("tok", F.explode(F.split(F.col("cand"), " ")))
     cands = (
-        nt.join(et.where(F.length("tok") >= 2), "tok")
+        nt.join(idx.join_side(), "tok")
         .select("conv_id", "name", "entity_key", "cand")
         .dropDuplicates(["conv_id", "name", "entity_key"])
     )

@@ -85,9 +85,28 @@ def test_louvain_golden_txns_parity(spark):
     assert got == want
 
 
-def test_louvain_size_gate(spark):
-    df = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+def test_louvain_distributed_per_component(spark):
+    """Total edges above the gate but every component under it: the
+    distributed path (CC partition -> per-component applyInPandas with the
+    global 2m) must resolve WITHOUT raising and agree exactly with the
+    driver path on the same graph."""
+    edges = []
+    for g in range(4):
+        m = [f"g{g}n{i}" for i in range(4)]
+        edges += [(a, b) for a in m for b in m if a < b]  # 6 edges each
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    dist = louvain_communities(df, max_edges=10)  # 24 total > 10, 6/component
+    drv = louvain_communities(df, max_edges=1_000_000)
+    assert _clusters(dist.collect()) == _clusters(drv.collect())
+
+
+def test_louvain_per_component_gate_raises(spark):
+    """A single component larger than the gate must raise loudly (inside
+    the applyInPandas task), never truncate."""
     import pytest
 
-    with pytest.raises(ValueError):
-        louvain_communities(df, max_edges=1)
+    m = [f"n{i}" for i in range(6)]
+    edges = [(a, b) for a in m for b in m if a < b]  # one 15-edge clique
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    with pytest.raises(Exception, match="per-component gate"):
+        louvain_communities(df, max_edges=10).collect()

@@ -47,6 +47,54 @@ def test_partial_ratio_scale_and_bounds():
     assert all(0 <= v <= 100 for v in out)
 
 
+def _fuzzywuzzy_partial_naive(x: str, y: str) -> int:
+    """Straight transliteration of the published fuzzywuzzy partial_ratio
+    (fuzz.py): no fast paths, no pruning — the parity oracle."""
+    from difflib import SequenceMatcher
+
+    shorter, longer = (x, y) if len(x) <= len(y) else (y, x)
+    blocks = SequenceMatcher(None, shorter, longer).get_matching_blocks()
+    scores = []
+    for a_i, b_j, _size in blocks:
+        long_start = b_j - a_i if (b_j - a_i) > 0 else 0
+        long_substr = longer[long_start : long_start + len(shorter)]
+        r = SequenceMatcher(None, shorter, long_substr).ratio()
+        if r > 0.995:
+            return 100
+        scores.append(r)
+    return int(round(100 * max(scores))) if scores else 0
+
+
+def test_partial_ratio_autojunk_long_inputs():
+    """difflib enables autojunk when len(longer) >= 200: popular characters
+    of the longer side are junked, so an exact substring can legitimately
+    score far below 100 — the substring fast path must not fire there
+    (it is guarded to < 200), preserving bit-parity with fuzzywuzzy."""
+    short = "DC"
+    longer = "CD" * 101  # len 202: C and D are popular -> junked from b2j,
+    # so no block proposes the true alignment ('DC' occurs at offset 1) and
+    # only the dummy tail window ('CD') is scored
+    got = sim.partial_ratio_reference(short, longer)
+    assert short in longer  # the old fast path would have said 100 ...
+    assert got == _fuzzywuzzy_partial_naive(short, longer) == 50  # ... wrongly
+    # below the threshold the substring fast path stays exact
+    long2 = "DC" + "CD" * 80  # len 162 < 200
+    assert (
+        sim.partial_ratio_reference(short, long2)
+        == _fuzzywuzzy_partial_naive(short, long2)
+        == 100
+    )
+    # randomized sweep straddling the threshold
+    import random
+
+    rng = random.Random(7)
+    alpha = "ABC "
+    for _ in range(200):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(150, 260)))
+        assert sim.partial_ratio_reference(a, b) == _fuzzywuzzy_partial_naive(a, b)
+
+
 def test_jaro_winkler_known_values():
     assert abs(sim.jaro_winkler("MARTHA", "MARHTA") - 0.9611) < 1e-3
     assert sim.jaro_winkler("SAME", "SAME") == 1.0

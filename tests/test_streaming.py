@@ -55,6 +55,45 @@ def test_assign_stream_batch(spark):
     assert out["c2"]["status"] == "pending"
 
 
+def test_entity_token_index_built_once(spark):
+    """The entity-side explode must run exactly once per index build; every
+    micro-batch reuses the materialized index (no per-trigger recompute)."""
+    from pyspark.sql.types import StringType
+
+    from name_matching_spark.streaming.stream_resolve import EntityTokenIndex
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(s):
+        acc.add(1)
+        return s
+
+    bump_udf = F.udf(bump, StringType()).asNondeterministic()
+    entities = spark.createDataFrame(
+        [("JONATHAN WICK", "JONATHAN WICK"), ("HOTEL CONTINENTAL", "HOTEL CONTINENTAL")],
+        ["entity_key", "resolved_name"],
+    ).withColumn("resolved_name", bump_udf("resolved_name"))
+    idx = EntityTokenIndex(entities)
+    built = acc.value
+    assert built > 0
+    assert idx.broadcastable
+    model, tfidf = load_artifacts()
+    new = spark.createDataFrame(
+        [("c1", "JOHN WICK"), ("c2", "ZEBRA QUARRY")], ["conv_id", "name"]
+    )
+    for _ in range(2):  # two simulated micro-batch triggers
+        out = {
+            r["conv_id"]: r
+            for r in assign_stream_batch(
+                new, idx, model.to_json(), tfidf.to_json()
+            ).collect()
+        }
+        assert out["c1"]["status"] == "assigned"
+        assert out["c2"]["status"] == "pending"
+    # the entity-side scan + explode did NOT rerun per trigger
+    assert acc.value == built
+
+
 @pytest.mark.slow
 def test_stateful_turn_collapse_matches_batch(spark, tmp_path):
     """applyInPandasWithState: the final per-conversation snapshot must
