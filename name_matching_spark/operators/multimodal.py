@@ -3,21 +3,24 @@ Arrow batches.
 
 Images/audio/video ride as ``binary`` columns with a metadata struct and
 are processed with a partition-preserving ``mapInPandas`` (no shuffle, no
-per-row UDFs).  Two of the three modalities decode FOR REAL with the
-pure-stdlib codecs in functions/codecs.py (PNG: header + inflate +
-scanline unfiltering; WAV: RIFF/PCM16 parse), and the feature step is
-genuine numpy signal/pixel statistics:
+per-row UDFs).  All three modalities decode FOR REAL with the pure-stdlib
+codecs in functions/codecs.py (PNG: header + inflate + scanline
+unfiltering; WAV: RIFF/PCM16 parse; AVI: RIFF movi-chunk walk over
+uncompressed 24-bit DIB frames), and the feature step is genuine numpy
+signal/pixel statistics:
 
 * image  -> [width, height, aspect, mean/std per RGB channel, 3x3
              grayscale grid means]                       (16 floats)
 * audio  -> [duration_s, rms, zero-crossing rate, peak, 12 log-spaced
              FFT magnitude bins]                         (16 floats)
-* video  -> the one stubbed modality (no pure-python codec is practical;
-             a real deployment swaps in e.g. PyAV frame sampling) —
-             decodes to a null feature, never a batch abort.
+* video  -> [n_frames, fps, width, height, aspect, 8 sampled-frame gray
+             means, global std/mean, temporal activity]  (16 floats)
 
-The fixture writes real PNG/WAV bytes, so tests exercise actual decoding,
-not byte-shuffling.
+Compressed video codecs (H.264, MJPEG, ...) are declared out of scope:
+the codec raises and the row becomes a null feature, never a batch abort.
+The fixture writes real PNG/WAV/AVI bytes (plus some deliberately
+undecodable video payloads), so tests exercise actual decoding AND the
+fallback, not byte-shuffling.
 """
 
 from __future__ import annotations
@@ -109,10 +112,28 @@ def audio_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def video_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """STUB — declared, not disguised: no pure-python video codec exists in
-    this environment.  A real deployment swaps in frame sampling + the
-    image path; the Spark-side plumbing is identical."""
-    raise NotImplementedError("no video codec available in sandbox")
+    """Real decode for uncompressed RIFF/AVI (functions/codecs.avi_decode)
+    + frame-sampled pixel statistics: container stats, per-sampled-frame
+    grayscale means (up to 8 evenly-spaced frames incl. first and last),
+    and mean inter-frame absolute difference (temporal activity).
+    Compressed codecs (H.264, MJPEG, ...) raise ValueError in the codec —
+    declared out of scope — and become null features upstream."""
+    fps, frames = codecs.avi_decode(payload)
+    n, h, w, _ = frames.shape
+    gray = frames.astype(np.float32).mean(axis=3) / 255.0  # (n, h, w)
+    k = min(8, n)
+    sample_idx = np.linspace(0, n - 1, k).astype(int)
+    frame_means = np.zeros(8, dtype=np.float32)
+    frame_means[:k] = gray[sample_idx].mean(axis=(1, 2))
+    temporal = float(np.abs(np.diff(gray, axis=0)).mean()) if n > 1 else 0.0
+    feats = np.concatenate(
+        [
+            [float(n), float(fps), float(w), float(h), float(w) / float(h)],
+            frame_means,
+            [gray.std(), gray.mean(), temporal],
+        ]
+    ).astype(np.float32)
+    return feats[:dim]
 
 
 DECODERS = {"image": image_features, "audio": audio_features, "video": video_features}
@@ -166,7 +187,16 @@ def make_media_fixture(spark, n: int = 64, seed: int = 42) -> DataFrame:
             x = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.05 * rng.standard_normal(len(t))
             payload = codecs.wav_encode((x * 20000).astype(np.int16), rate)
             meta = (None, None, int(1000 * len(t) / rate))
+        elif (i // 3) % 4 != 3:
+            n_f = int(rng.integers(2, 7))
+            w, h = int(rng.integers(4, 13)), int(rng.integers(4, 13))
+            payload = codecs.avi_encode(
+                rng.integers(0, 256, size=(n_f, h, w, 3), dtype=np.uint8), fps=10
+            )
+            meta = (w, h, int(1000 * n_f / 10))
         else:
+            # every 4th video row stays an opaque (compressed-codec stand-in)
+            # payload: exercises the declared null-feature fallback
             payload = bytes(rng.integers(0, 256, size=256, dtype=np.uint8))
             meta = (None, None, 1000)
         rows.append(

@@ -1,0 +1,109 @@
+"""Deterministic 10x scale-up: /root/testdata/sf0.1 -> data/sf1.
+
+The driver ships testdata only up to sf0.1; the 10x-scale evidence run
+(BENCH/SF1.md) needs the same tables one order of magnitude larger.  This
+script derives them from sf0.1 itself — no external data, no RNG — as 10
+disjoint replicas per table:
+
+* every id column is shifted by ``replica * (max_id + 1)`` so keys stay
+  unique and joins (lineitem.l_partkey -> part.p_partkey) stay consistent
+  within a replica;
+* ``documents.text`` is perturbed per replica by suffixing every token
+  with ``~r{k}`` (replica 0 keeps the original text), so replicas share NO
+  word shingles or char n-grams: cross-replica near-dup collisions are
+  suppressed BY CONSTRUCTION and every dedup/LSH output size scales
+  exactly linearly.  That is the property the scale run needs — any
+  super-linear growth in runtime is then an engine artifact (a hidden
+  quadratic), not a data artifact;
+* ``embeddings.embedding`` is rotated by ``replica`` positions (norms
+  preserved, neighbor structure decorrelated across replicas).
+
+Usage: python scripts/make_sf1.py [out_dir]  (default: <repo>/data/sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+REPLICAS = 10
+SRC = "/root/testdata/sf0.1"
+
+# table -> id columns to shift (shift unit = max over the FIRST id column,
+# shared across tables that join on it via the per-table mapping below)
+ID_COLS = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+}
+# columns whose shift unit must MATCH another table's so joins survive the
+# replica shift: (table, col) -> (table, col) providing the unit
+SHARED_UNITS = {
+    ("lineitem", "l_partkey"): ("part", "p_partkey"),
+    ("lineitem", "l_orderkey"): ("orders", "o_orderkey"),
+    ("orders", "o_custkey"): ("customer", "c_custkey"),
+}
+# keys that are small-dimension codes, not entity ids — never shift
+NO_SHIFT = {("customer", "c_nationkey")}
+
+
+def main(out_dir: str) -> None:
+    from name_matching_spark.session import get_spark
+
+    spark = get_spark(app_name="make-sf1", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(out_dir, exist_ok=True)
+
+    units: dict[tuple[str, str], int] = {}
+    bases = {}
+    for t, cols in ID_COLS.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        bases[t] = df
+        for c in cols:
+            units[(t, c)] = int(df.agg(F.max(c)).collect()[0][0]) + 1
+    for key, src in SHARED_UNITS.items():
+        units[key] = units[src]
+
+    for t, cols in ID_COLS.items():
+        base = bases[t]
+        parts = []
+        for r in range(REPLICAS):
+            rep = base
+            for c in cols:
+                if (t, c) in NO_SHIFT:
+                    continue
+                rep = rep.withColumn(c, F.col(c) + F.lit(r * units[(t, c)]))
+            if t == "documents" and r > 0:
+                rep = rep.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"$1~r{r}")
+                )
+            if t == "embeddings" and r > 0:
+                dim = F.size("embedding")
+                rep = rep.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice("embedding", r + 1, dim - r),
+                        F.slice("embedding", 1, r),
+                    ),
+                )
+            parts.append(rep)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        dest = os.path.join(out_dir, f"{t}.parquet")
+        out.repartition(8).write.mode("overwrite").parquet(dest)
+        print(f"{t}: {spark.read.parquet(dest).count()} rows -> {dest}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    main(sys.argv[1] if len(sys.argv) > 1 else os.path.join(repo, "data", "sf1"))

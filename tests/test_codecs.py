@@ -54,8 +54,32 @@ def test_wav_roundtrip():
     assert np.allclose(back * 32768.0, pcm.astype(np.float32))
 
 
+def test_avi_roundtrip_exact():
+    rng = np.random.default_rng(7)
+    for n, h, w in [(1, 4, 4), (3, 5, 7), (6, 8, 3)]:  # w=3,7: stride padding
+        frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        payload = codecs.avi_encode(frames, fps=10)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+        fps, back = codecs.avi_decode(payload)
+        assert fps == 10.0
+        assert np.array_equal(back, frames)
+
+
+def test_avi_rejects_compressed():
+    # flip biCompression in strf to a nonzero FourCC: must raise, not
+    # silently misparse (compressed codecs are declared out of scope)
+    frames = np.zeros((1, 2, 2, 3), dtype=np.uint8)
+    payload = bytearray(codecs.avi_encode(frames))
+    i = payload.index(b"strf")
+    payload[i + 8 + 16 : i + 8 + 20] = b"MJPG"
+    with pytest.raises(ValueError):
+        codecs.avi_decode(bytes(payload))
+
+
 def test_codec_rejects_garbage():
     with pytest.raises(ValueError):
         codecs.png_decode(b"not a png at all")
     with pytest.raises(ValueError):
         codecs.wav_decode(b"RIFFxxxxJUNK")
+    with pytest.raises(ValueError):
+        codecs.avi_decode(b"RIFFxxxxJUNK")

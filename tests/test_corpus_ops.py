@@ -115,10 +115,21 @@ def test_multimodal_real_decode(spark):
     for mid, r in out.items():
         kind = r["kind"]
         assert r["n_bytes"] > 0
-        if kind == "video":  # the one declared stub: null feature, no abort
+        if kind == "video" and fixture[mid]["width"] is None:
+            # the opaque (compressed-codec stand-in) payload: declared
+            # fallback — null feature, no abort
             assert r["feature"] is None
             continue
         assert r["feature"] is not None and len(r["feature"]) == 16
+        if kind == "video":
+            # real AVI decode: n_frames/fps/width/height from the container
+            assert (
+                abs(r["feature"][0] * 1000 / r["feature"][1] - fixture[mid]["duration_ms"])
+                < 1.0
+            )
+            assert int(r["feature"][2]) == fixture[mid]["width"]
+            assert int(r["feature"][3]) == fixture[mid]["height"]
+            assert all(0.0 <= v <= 1.0 for v in r["feature"][5:13])
         if kind == "image":
             # features 0/1 are the REAL decoded width/height — must match
             # the metadata the fixture wrote
