@@ -8,13 +8,21 @@ disjoint replicas per table:
 * every id column is shifted by ``replica * (max_id + 1)`` so keys stay
   unique and joins (lineitem.l_partkey -> part.p_partkey) stay consistent
   within a replica;
-* ``documents.text`` is perturbed per replica by suffixing every token
-  with ``~r{k}`` (replica 0 keeps the original text), so replicas share NO
-  word shingles or char n-grams: cross-replica near-dup collisions are
-  suppressed BY CONSTRUCTION and every dedup/LSH output size scales
-  exactly linearly.  That is the property the scale run needs — any
-  super-linear growth in runtime is then an engine artifact (a hidden
-  quadratic), not a data artifact;
+* ``documents.text`` is perturbed per replica by a Caesar shift of the
+  letters (``translate``, shift = replica index; replica 0 keeps the
+  original text).  A character bijection maps word shingles AND char
+  n-grams bijectively, so each replica's internal similarity structure is
+  EXACTLY isomorphic to replica 0 (expected dedup outputs scale exactly
+  linearly, modulo md5-MinHash banding variance), while replicas share
+  essentially no shingles with each other: cross-replica near-dup
+  collisions are suppressed by construction.  That is the property the
+  scale run needs — any super-linear growth in runtime is then an engine
+  artifact (a hidden quadratic), not a data artifact.  (A per-token
+  suffix tag was tried first and rejected: the tag's own char n-grams are
+  shared by every doc in a replica and inflate within-replica Jaccard —
+  near-dup drops grew 13.2x instead of ~10x;
+  number-only tokens map to themselves — rare enough in this corpus not
+  to matter);
 * ``embeddings.embedding`` is rotated by ``replica`` positions (norms
   preserved, neighbor structure decorrelated across replicas).
 
@@ -82,8 +90,16 @@ def main(out_dir: str) -> None:
                     continue
                 rep = rep.withColumn(c, F.col(c) + F.lit(r * units[(t, c)]))
             if t == "documents" and r > 0:
+                lower = "abcdefghijklmnopqrstuvwxyz"
+                upper = lower.upper()
+                k = r % 26
                 rep = rep.withColumn(
-                    "text", F.regexp_replace("text", r"(\S+)", f"$1~r{r}")
+                    "text",
+                    F.translate(
+                        "text",
+                        lower + upper,
+                        lower[k:] + lower[:k] + upper[k:] + upper[:k],
+                    ),
                 )
             if t == "embeddings" and r > 0:
                 dim = F.size("embedding")

@@ -10,12 +10,16 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+import os  # noqa: E402
+
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from name_matching_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+# Override with ORACLE_SF_DIR to run the same gate at another scale (e.g.
+# the generated data/sf1 for the 10x scale-evidence run).
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -46,7 +50,12 @@ def frame_hash(cols, rows):
 def main(only: list[str] | None = None):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"create view {t} as select * from '{SF_DIR}/{t}.parquet'")
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if not os.path.exists(p):
+            continue  # generated scale dirs carry only the benched tables
+        if os.path.isdir(p):  # Spark-written dataset directory
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"create view {t} as select * from '{p}'")
     spark = get_spark(master="local[8]")
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
