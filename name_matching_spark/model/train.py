@@ -134,6 +134,53 @@ def tune_grid_search(
     return {"best": best[1], "results": results}
 
 
+def tune_cv_ap(
+    X: np.ndarray,
+    y: np.ndarray,
+    grid: list[dict] | None = None,
+    folds: int = 5,
+    seed: int = 42,
+    verbose: bool = False,
+) -> dict:
+    """Reference-parity tuning objective: K-fold cross-validated AVERAGE
+    PRECISION — the reference tunes its Optuna trials with 5-fold CV on
+    ``average_precision_score`` (train_model.py:90-153 in
+    vietexob/name-matching).  Deterministic here: fixed fold assignment
+    from the seeded permutation (fold k = every folds-th position),
+    selection on mean AP with grid order as the tiebreak.
+
+    This exists alongside :func:`tune_grid_search` (which selects on
+    holdout F1@threshold, OUR authoritative gate) so both objectives are
+    measured; ``train(tune_objective="cv_ap")`` ships the CV-AP winner."""
+    grid = grid or DEFAULT_TUNE_GRID
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(y))
+    results = []
+    best = None
+    for i, cfg in enumerate(grid):
+        t0 = time.time()
+        aps = []
+        for k in range(folds):
+            test_idx = perm[k::folds]
+            train_idx = np.concatenate([perm[j::folds] for j in range(folds) if j != k])
+            model = GBMClassifier(**cfg).fit(X[train_idx], y[train_idx])
+            aps.append(average_precision(y[test_idx], model.predict_proba(X[test_idx])))
+        mean_ap = float(np.mean(aps))
+        rec = {
+            **cfg,
+            "cv_ap_mean": round(mean_ap, 6),
+            "cv_ap_folds": [round(a, 6) for a in aps],
+            "fit_seconds": round(time.time() - t0, 2),
+        }
+        results.append(rec)
+        key = (mean_ap, -i)  # deterministic: mean AP, then grid order
+        if best is None or key > best[0]:
+            best = (key, cfg)
+        if verbose:
+            print(json.dumps(rec))
+    return {"best": best[1], "results": results, "objective": "cv_ap", "folds": folds}
+
+
 def load_synthetic_pairs(n_entities: int = 600, seed: int = 7) -> pd.DataFrame:
     """Synthetic augmentation pairs (see datagen.generate_labeled_pairs):
     the confusable negative space — ORGA same-kind/different-core,
@@ -161,12 +208,15 @@ def train(
     synthetic_entities: int = 600,
     verbose: bool = True,
     tune_grid: list[dict] | None = None,
+    tune_objective: str = "f1_at_threshold",
     out_dir: str | None = None,
 ) -> dict:
     """Train the pairwise classifier.  ``tune_grid`` switches on the
-    deterministic grid search (holdout average precision, the reference's
-    Optuna objective) and refits the winner; ``out_dir`` redirects the
-    artifact files (tests)."""
+    deterministic grid search and refits the winner; ``tune_objective``
+    picks the selection rule — ``"f1_at_threshold"`` (holdout F1, our
+    authoritative gate) or ``"cv_ap"`` (5-fold CV average precision, the
+    reference's Optuna objective); ``out_dir`` redirects the artifact
+    files (tests)."""
     t0 = time.time()
     df = load_labeled_pairs(pos_csv, neg_csv)
     df["source"] = "reference"
@@ -200,10 +250,13 @@ def train(
 
     tuning = None
     if tune_grid is not None:
-        tuning = tune_grid_search(
-            X, y, grid=tune_grid, test_frac=test_frac,
-            threshold=threshold, seed=seed, verbose=verbose,
-        )
+        if tune_objective == "cv_ap":
+            tuning = tune_cv_ap(X, y, grid=tune_grid, seed=seed, verbose=verbose)
+        else:
+            tuning = tune_grid_search(
+                X, y, grid=tune_grid, test_frac=test_frac,
+                threshold=threshold, seed=seed, verbose=verbose,
+            )
         chosen = tuning["best"]
         n_estimators = chosen["n_estimators"]
         max_depth = chosen["max_depth"]
@@ -316,5 +369,10 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--tune", action="store_true",
                     help="deterministic grid search before the final refit")
+    ap.add_argument("--objective", default="f1_at_threshold",
+                    choices=["f1_at_threshold", "cv_ap"],
+                    help="grid selection rule (cv_ap = the reference's "
+                         "5-fold CV average-precision objective)")
     args = ap.parse_args()
-    train(tune_grid=DEFAULT_TUNE_GRID if args.tune else None)
+    train(tune_grid=DEFAULT_TUNE_GRID if args.tune else None,
+          tune_objective=args.objective)

@@ -96,6 +96,38 @@ def test_tune_grid_search_deterministic():
     assert best_rec["holdout_f1"] == max(r["holdout_f1"] for r in r1["results"])
 
 
+def test_tune_cv_ap_deterministic():
+    """The reference-parity CV tuning (5-fold CV on average precision,
+    the Optuna objective): deterministic folds, per-fold APs recorded,
+    winner = max mean AP."""
+    import numpy as np
+
+    from name_matching_spark.model.train import tune_cv_ap
+
+    rng = np.random.default_rng(3)
+    X = rng.random((3000, 5))
+    y = ((X[:, 0] + 0.5 * X[:, 1] + 0.1 * rng.random(3000)) > 0.9).astype(float)
+    grid = [
+        {"n_estimators": 30, "max_depth": 2, "learning_rate": 0.2},
+        {"n_estimators": 60, "max_depth": 3, "learning_rate": 0.2},
+    ]
+    r1 = tune_cv_ap(X, y, grid=grid, folds=3)
+    r2 = tune_cv_ap(X, y, grid=grid, folds=3)
+
+    def strip_timing(r):
+        return {**r, "results": [{k: v for k, v in rec.items() if k != "fit_seconds"}
+                                 for rec in r["results"]]}
+
+    assert strip_timing(r1) == strip_timing(r2)
+    assert r1["best"] in grid
+    assert r1["objective"] == "cv_ap" and r1["folds"] == 3
+    assert all(len(r["cv_ap_folds"]) == 3 for r in r1["results"])
+    best_rec = next(
+        r for r in r1["results"] if all(r[k] == r1["best"][k] for k in r1["best"])
+    )
+    assert best_rec["cv_ap_mean"] == max(r["cv_ap_mean"] for r in r1["results"])
+
+
 def test_train_records_tuning_metrics(tmp_path):
     """train(tune_grid=...) must persist the chosen params + per-config
     results in the metrics JSON (artifacts redirected to tmp)."""
