@@ -54,7 +54,8 @@ SURVEY §2 coverage map (operator id -> where it is exercised):
   M9  visualizations                  -> model/evaluation.py: ROC/PR curves + AUCs as data
                                          artifacts (models/eval_curves.json)
 
-Corpus-scale extras: d1 exact dedup, d2/d2b MinHash-LSH, d3 SimHash,
+Corpus-scale extras: d1 exact dedup, d2/d2b MinHash-LSH, d3 SimHash
+(+ d3b banded Hamming near-dup pairs),
 d6 composed dedup pipeline (exact -> LSH -> verify, full SQL oracle),
 d4 n-gram Jaccard, d5 embedding cosine, ann1 brute-force top-k,
 ann2 LSH ANN (+ recall-vs-exact gate), t1-t4 text analysis,
@@ -474,6 +475,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def d3_simhash(spark, sf):
         return dd.simhash(_t(spark, sf, "documents"), bits=16)
 
+    def d3b_simhash_pairs(spark, sf):
+        return dd.simhash_pairs(
+            _t(spark, sf, "documents"), bits=16, bands=4, max_hamming=3
+        )
+
     def d4_ngram_jaccard(spark, sf):
         d = _t(spark, sf, "documents")
         pairs = d.select(F.col("doc_id").alias("key_x")).withColumn(
@@ -617,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2b_minhash_signature": d2b_minhash_signature,
         "d6_dedup_pipeline": d6_dedup_pipeline,
         "d3_simhash": d3_simhash,
+        "d3b_simhash_pairs": d3b_simhash_pairs,
         "d4_ngram_jaccard": d4_ngram_jaccard,
         "d5_embedding_cosine": d5_embedding_cosine,
         "ann1_bruteforce_topk": ann1_bruteforce_topk,
@@ -939,6 +946,29 @@ def oracle_sql() -> dict[str, str]:
             select doc_id as key,
                    sum(case when s > 0 then (1::bigint << bit) else 0 end)::bigint as simhash
             from votes group by doc_id
+        """,
+        "d3b_simhash_pairs": f"""
+            with toks as (
+              select doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) as tok
+              from documents),
+            h as (select doc_id, {md5_60.format(x='tok')} as hv from toks),
+            votes as (
+              select doc_id, b.bit as bit,
+                     sum(case when (hv >> b.bit) & 1 = 1 then 1 else -1 end) as s
+              from h cross join (select unnest(range(0, 16)) as bit) b
+              group by doc_id, b.bit),
+            sim as (
+              select doc_id as key,
+                     sum(case when s > 0 then (1::bigint << bit) else 0 end)::bigint as simhash
+              from votes group by doc_id),
+            bands as (
+              select key, simhash,
+                     b.band::varchar || '_' || ((simhash >> (b.band * 4)) & 15)::varchar as bucket
+              from sim cross join (select unnest(range(0, 4)) as band) b)
+            select distinct a.key as key_x, c.key as key_y,
+                   bit_count(xor(a.simhash, c.simhash))::int as hamming
+            from bands a join bands c on a.bucket = c.bucket and a.key < c.key
+            where bit_count(xor(a.simhash, c.simhash)) <= 3
         """,
         "d4_ngram_jaccard": """
             with g as (

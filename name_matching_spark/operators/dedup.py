@@ -10,7 +10,8 @@ a DuckDB oracle can reproduce them bit-for-bit):
   whole LSH path is oracle-checkable), banded into LSH buckets, candidate
   pairs from the bucket self-join;
 * :func:`simhash`           — 32-bit SimHash over token md5s (majority bit
-  vote), plus near-dup pairs at Hamming distance <= k via band rotation;
+  vote); :func:`simhash_pairs` — near-dup pairs at Hamming distance <= k
+  via bit-band bucketing (Manku et al., WWW 2007);
 * :func:`ngram_jaccard_pairs` — character-n-gram Jaccard for candidate
   pairs (verification step after LSH);
 * :func:`embedding_cosine_pairs` — exact cosine near-dup over an embedding
@@ -183,6 +184,65 @@ def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id", bi
         lambda acc, v: acc + v,
     )
     return docs.select(F.col(key_col).alias("key"), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(key_x, key_y, hamming) — near-dup pairs at Hamming distance <=
+    ``max_hamming`` over the SimHash, via bit-band bucketing (the
+    block-permutation scheme of Manku, Jain & Sarma, "Detecting
+    Near-Duplicates for Web Crawling", WWW 2007): split the signature into
+    ``bands`` contiguous bit blocks; by pigeonhole any pair with fewer
+    than ``bands`` differing bits collides in at least one block, so the
+    bucket self-join is complete for ``max_hamming < bands``; exact
+    Hamming (``bit_count(xor)``) then verifies each candidate.
+
+    Scale note: block width ``bits/bands`` bounds bucket count per block
+    at ``2^(bits/bands)``; at corpus scale use a wide signature (64-bit,
+    16-bit blocks -> 65k buckets/table per the paper) so per-bucket
+    populations — and therefore the within-bucket join — stay small."""
+    assert max_hamming < bands, "completeness requires max_hamming < bands"
+    sig = simhash(docs, text_col, key_col, bits=bits)
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .cast("string"),
+            )
+            for b in range(bands)
+        ]
+    )
+    # One materialization of (key, simhash, bucket): the self-join references
+    # it on both sides (same rationale as minhash_lsh_pairs).
+    banded = sig.select(
+        "key", "simhash", F.explode(band_arr).alias("bucket")
+    ).localCheckpoint()
+    a, b_ = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        a.join(b_, "bucket")
+        .where(F.col("a.key") < F.col("b.key"))
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.key").alias("key_x"),
+            F.col("b.key").alias("key_y"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["key_x", "key_y"])
+    )
 
 
 def char_ngrams(col: Column, n: int = 3) -> Column:
