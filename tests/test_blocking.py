@@ -95,3 +95,35 @@ def test_scorer_plan_single_udf_evaluation(spark):
     assert plan.count("ArrowEvalPython") == 1, plan
     # the single evaluation sits ABOVE the exchange (post-shuffle)
     assert plan.index("ArrowEvalPython") < plan.index("Exchange"), plan
+
+
+def test_python_worker_reuse_across_scorer_jobs(spark):
+    """spark.python.worker.reuse (default on) is what amortizes numpy
+    first-touch cold-start across jobs; verify it survives the scorer's
+    iterator-UDF execution path — the SAME python worker processes must
+    serve a second scoring job."""
+    import os
+
+    import pandas as pd
+
+    from name_matching_spark.model.train import load_artifacts
+    from name_matching_spark.operators.scoring import score_pairs
+
+    assert spark.conf.get("spark.python.worker.reuse", "true") == "true"
+    model, tfidf = load_artifacts()
+    pairs = spark.createDataFrame(
+        [("JOHN WICK", "JON WICK")] * 64, ["name_x", "name_y"]
+    ).repartition(4).localCheckpoint()
+
+    def pid_batches(it):
+        for pdf in it:
+            yield pd.DataFrame({"pid": [os.getpid()] * len(pdf)})
+
+    def run_once():
+        score_pairs(pairs, model.to_json(), tfidf.to_json()).count()
+        return {
+            r["pid"] for r in pairs.mapInPandas(pid_batches, "pid long").collect()
+        }
+
+    p1, p2 = run_once(), run_once()
+    assert p1 & p2, f"no python worker survived across jobs: {p1} vs {p2}"
