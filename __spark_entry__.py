@@ -58,7 +58,8 @@ Corpus-scale extras: d1 exact dedup, d2/d2b MinHash-LSH, d3 SimHash
 (+ d3b banded Hamming near-dup pairs),
 d6 composed dedup pipeline (exact -> LSH -> verify, full SQL oracle),
 d4 n-gram Jaccard, d5 embedding cosine, ann1 brute-force top-k,
-ann2 LSH ANN (+ recall-vs-exact gate), t1-t4 text analysis,
+ann2 LSH ANN + ann3 IVF-flat ANN (each with a recall-vs-exact gate),
+t1-t4 text analysis,
 mm1 multimodal (real PNG/WAV/uncompressed-AVI decode; compressed video
 codecs declared out of scope -> null feature).
 """
