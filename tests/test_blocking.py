@@ -111,9 +111,13 @@ def test_python_worker_reuse_across_scorer_jobs(spark):
 
     assert spark.conf.get("spark.python.worker.reuse", "true") == "true"
     model, tfidf = load_artifacts()
+    # enough partitions to touch the whole worker pool: with a large pool
+    # (shared test session) a few tasks can legitimately land on disjoint
+    # workers even with reuse on
+    n_part = spark.sparkContext.defaultParallelism * 2
     pairs = spark.createDataFrame(
-        [("JOHN WICK", "JON WICK")] * 64, ["name_x", "name_y"]
-    ).repartition(4).localCheckpoint()
+        [("JOHN WICK", "JON WICK")] * (4 * n_part), ["name_x", "name_y"]
+    ).repartition(n_part).localCheckpoint()
 
     def pid_batches(it):
         for pdf in it:
@@ -125,5 +129,7 @@ def test_python_worker_reuse_across_scorer_jobs(spark):
             r["pid"] for r in pairs.mapInPandas(pid_batches, "pid long").collect()
         }
 
-    p1, p2 = run_once(), run_once()
-    assert p1 & p2, f"no python worker survived across jobs: {p1} vs {p2}"
+    runs = [run_once() for _ in range(3)]
+    assert any(
+        a & b for a, b in zip(runs, runs[1:])
+    ), f"no python worker survived across any consecutive jobs: {runs}"
