@@ -107,6 +107,18 @@ def test_text_analysis(docs):
     assert fp[0] != fp[3]
 
 
+def test_simhash_plan_zero_shuffle(spark):
+    """Regression lock for the round-2 d3 regression: the signature must
+    be a pure narrow map — one per-row array aggregate, NO exchange (the
+    old explode -> 32 per-bit sums -> re-aggregate plan shuffled)."""
+    from name_matching_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = simhash(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan  # JVM-side end to end
+
+
 def test_multimodal_real_decode(spark):
     media = make_media_fixture(spark, n=12)
     out = {r["media_id"]: r for r in extract_features(media).collect()}
