@@ -305,6 +305,13 @@ def train(
     _atomic_write(os.path.join(model_dir, os.path.basename(TFIDF_PATH)), tfidf.to_json())
     _atomic_write(os.path.join(model_dir, os.path.basename(CORPUS_PATH)), json.dumps(corpus))
     _atomic_write(os.path.join(model_dir, "eval_curves.json"), json.dumps(curves))
+    # M9 rendered-figure form: real PNG (repo rasterizer + PNG encoder)
+    from name_matching_spark.model.evaluation import render_curves_png
+
+    png_path = os.path.join(model_dir, "eval_curves.png")
+    with open(png_path + ".tmp", "wb") as f:
+        f.write(render_curves_png(curves))
+    os.replace(png_path + ".tmp", png_path)
     metrics = {
         "rows": int(len(y)),
         "positives": int(y.sum()),

@@ -151,6 +151,30 @@ def test_train_records_tuning_metrics(tmp_path):
     assert os.path.exists(os.path.join(tmp_path, "match_gbm.json"))
 
 
+def test_render_curves_png_roundtrip():
+    """M9 rendered figures: the PNG must decode back (repo codec), have
+    the two-panel geometry, and actually contain both curve colors."""
+    import numpy as np
+
+    from name_matching_spark.functions import codecs
+    from name_matching_spark.model.evaluation import (
+        evaluation_curves,
+        render_curves_png,
+    )
+
+    rng = np.random.default_rng(1)
+    y = (rng.random(500) > 0.5).astype(float)
+    scores = np.clip(y * 0.6 + rng.random(500) * 0.4, 0, 1)
+    curves = evaluation_curves(y, scores)
+    payload = render_curves_png(curves, panel=128, margin=16)
+    img = codecs.png_decode(payload)
+    assert img.shape == (128 + 32, 2 * (128 + 32), 3)
+    flat = img.reshape(-1, 3)
+    assert (flat == (31, 119, 180)).all(axis=1).any()  # ROC blue plotted
+    assert (flat == (214, 39, 40)).all(axis=1).any()   # PR red plotted
+    assert (flat == 255).all(axis=1).mean() > 0.5      # mostly canvas
+
+
 def test_evaluation_curves_known_values():
     """M9 twin: ROC/PR curve points + AUCs against hand-computed values."""
     import numpy as np
