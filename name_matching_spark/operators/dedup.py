@@ -102,6 +102,49 @@ def minhash_signatures(
     return docs.select(F.col(key_col).alias("key"), sig.alias("sig"))
 
 
+def _bucket_pairs(band_rows: DataFrame, max_bucket: int | None) -> DataFrame:
+    """(key_x < key_y) pairs from bucket collisions.  ``band_rows`` must be
+    materialized (both join sides reference it).
+
+    ``max_bucket`` guards the quadratic failure mode of LSH at corpus
+    scale: a boilerplate-duplicate cluster puts 10^5+ near-identical docs
+    into ONE bucket, and the dense self-join emits O(n^2) pairs for it.
+    Buckets over the cap emit STAR pairs instead — every member paired
+    with the bucket's min key.  For dedup that is lossless: all members
+    of an over-cap bucket collide on a full band signature, the verify
+    stage scores each (min, member) pair, and the drop rule (drop key_y)
+    removes every verified member transitively — linear in bucket size.
+    ``None`` (default) keeps the exact dense semantics."""
+    if max_bucket is None:
+        a, b_ = band_rows.alias("a"), band_rows.alias("b")
+        return (
+            a.join(b_, "bucket")
+            .where(F.col("a.key") < F.col("b.key"))
+            .select(F.col("a.key").alias("key_x"), F.col("b.key").alias("key_y"))
+            .dropDuplicates(["key_x", "key_y"])
+        )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("bucket")
+    sized = band_rows.select(
+        "key",
+        "bucket",
+        F.count("*").over(w).alias("bs"),
+        F.min("key").over(w).alias("mn"),
+    ).localCheckpoint()
+    small = sized.where(F.col("bs") <= max_bucket).select("key", "bucket")
+    a, b_ = small.alias("a"), small.alias("b")
+    dense = (
+        a.join(b_, "bucket")
+        .where(F.col("a.key") < F.col("b.key"))
+        .select(F.col("a.key").alias("key_x"), F.col("b.key").alias("key_y"))
+    )
+    star = sized.where(
+        (F.col("bs") > max_bucket) & (F.col("key") != F.col("mn"))
+    ).select(F.col("mn").alias("key_x"), F.col("key").alias("key_y"))
+    return dense.unionByName(star).dropDuplicates(["key_x", "key_y"])
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -109,9 +152,12 @@ def minhash_lsh_pairs(
     bands: int = 4,
     rows_per_band: int = 4,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (key_x < key_y) whose signatures collide in
-    at least one LSH band."""
+    at least one LSH band.  ``max_bucket`` switches over-cap buckets to
+    linear star pairs (see :func:`_bucket_pairs`) — set it at corpus scale
+    where boilerplate clusters make single buckets quadratic."""
     sigs = minhash_signatures(
         docs, text_col, key_col, num_hashes=bands * rows_per_band, shingle_n=shingle_n
     )
@@ -139,13 +185,7 @@ def minhash_lsh_pairs(
     band_rows = sigs.select(
         "key", F.explode(bucket_arr).alias("bucket")
     ).localCheckpoint()
-    a, b_ = band_rows.alias("a"), band_rows.alias("b")
-    return (
-        a.join(b_, "bucket")
-        .where(F.col("a.key") < F.col("b.key"))
-        .select(F.col("a.key").alias("key_x"), F.col("b.key").alias("key_y"))
-        .dropDuplicates(["key_x", "key_y"])
-    )
+    return _bucket_pairs(band_rows, max_bucket)
 
 
 def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits: int = 32) -> DataFrame:
@@ -193,6 +233,7 @@ def simhash_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(key_x, key_y, hamming) — near-dup pairs at Hamming distance <=
     ``max_hamming`` over the SimHash, via bit-band bucketing (the
@@ -203,12 +244,16 @@ def simhash_pairs(
     bucket self-join is complete for ``max_hamming < bands``; exact
     Hamming (``bit_count(xor)``) then verifies each candidate.
 
-    Scale note: block width ``bits/bands`` bounds bucket count per block
+    Scale notes: block width ``bits/bands`` bounds bucket count per block
     at ``2^(bits/bands)``; at corpus scale use a wide signature (64-bit,
     16-bit blocks -> 65k buckets/table per the paper) so per-bucket
-    populations — and therefore the within-bucket join — stay small."""
+    populations — and therefore the within-bucket join — stay small; and
+    set ``max_bucket`` so boilerplate mega-buckets emit linear star pairs
+    instead of a quadratic self-join (see :func:`_bucket_pairs`)."""
     assert max_hamming < bands, "completeness requires max_hamming < bands"
-    sig = simhash(docs, text_col, key_col, bits=bits)
+    # signature materialized ONCE: banding reads it, and the Hamming
+    # verify joins it back on both pair sides
+    sig = simhash(docs, text_col, key_col, bits=bits).localCheckpoint()
     width = bits // bands
     mask = (1 << width) - 1
     band_arr = F.array(
@@ -223,25 +268,16 @@ def simhash_pairs(
             for b in range(bands)
         ]
     )
-    # One materialization of (key, simhash, bucket): the self-join references
-    # it on both sides (same rationale as minhash_lsh_pairs).
-    banded = sig.select(
-        "key", "simhash", F.explode(band_arr).alias("bucket")
-    ).localCheckpoint()
-    a, b_ = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    ).cast("int")
+    banded = sig.select("key", F.explode(band_arr).alias("bucket"))
+    pairs = _bucket_pairs(banded, max_bucket)
+    sx = sig.select(F.col("key").alias("key_x"), F.col("simhash").alias("hx"))
+    sy = sig.select(F.col("key").alias("key_y"), F.col("simhash").alias("hy"))
+    ham = F.bit_count(F.col("hx").bitwiseXOR(F.col("hy"))).cast("int")
     return (
-        a.join(b_, "bucket")
-        .where(F.col("a.key") < F.col("b.key"))
+        pairs.join(sx, "key_x")
+        .join(sy, "key_y")
         .where(ham <= max_hamming)
-        .select(
-            F.col("a.key").alias("key_x"),
-            F.col("b.key").alias("key_y"),
-            ham.alias("hamming"),
-        )
-        .dropDuplicates(["key_x", "key_y"])
+        .select("key_x", "key_y", ham.alias("hamming"))
     )
 
 
@@ -305,6 +341,7 @@ def dedup_pipeline(
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
     verify_ngram_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """The composed training-data dedup flow: exact dedup -> MinHash-LSH
     candidates over the exact survivors -> char-n-gram Jaccard
@@ -346,6 +383,7 @@ def dedup_pipeline(
         bands=bands,
         rows_per_band=rows_per_band,
         shingle_n=shingle_n,
+        max_bucket=max_bucket,
     )
     verified = ngram_jaccard_pairs(
         cands, survivors, text_col, key_col, n=verify_ngram_n, min_jaccard=min_jaccard

@@ -39,6 +39,29 @@ def test_minhash_near_dup(docs):
     assert (0, 3) not in pairs
 
 
+def test_lsh_bucket_cap_star_pairs(spark):
+    """max_bucket: an over-cap (boilerplate) bucket must emit LINEAR star
+    pairs — every member linked to the bucket min — not the quadratic
+    dense join; under-cap buckets keep exact dense semantics."""
+    boiler = [(i, "common boilerplate header repeated verbatim always") for i in range(40)]
+    uniq = [(100 + i, f"distinct payload number {i} with words {i * 7}") for i in range(5)]
+    docs = spark.createDataFrame(boiler + uniq, ["doc_id", "text"])
+    dense = dd.minhash_lsh_pairs(docs).collect()
+    capped = dd.minhash_lsh_pairs(docs, max_bucket=10).collect()
+    # dense: the 40-doc boilerplate bucket alone gives C(40,2) = 780 pairs
+    assert len(dense) >= 780
+    # capped: 39 star pairs for the big bucket (+ any small-bucket pairs)
+    star = {(r["key_x"], r["key_y"]) for r in capped}
+    assert {(0, i) for i in range(1, 40)} <= star
+    assert len(capped) < 100
+    # connectivity preserved: every boilerplate member reachable from min
+    covered = {y for x, y in star if x == 0}
+    assert covered >= set(range(1, 40))
+    # no-cap path unchanged (the oracle contract)
+    again = dd.minhash_lsh_pairs(docs).collect()
+    assert sorted(map(tuple, dense)) == sorted(map(tuple, again))
+
+
 def test_simhash_hamming(docs):
     sims = {r["key"]: r["simhash"] for r in dd.simhash(docs, bits=32).collect()}
     assert sims[0] == sims[1]
