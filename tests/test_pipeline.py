@@ -153,3 +153,30 @@ def test_checkpoint_invalidates_on_param_change(spark, tmp_path):
     assert man3["params"]["threshold"] == 0.99
     conv3 = json.load(open(p3.ckpt.manifest_path("conversations")))
     assert conv3["run_id"] != p3.ckpt.run_id  # untouched by the new threshold
+
+
+@pytest.mark.slow
+def test_clustering_change_invalidates_downstream(spark, tmp_path):
+    """Resuming the same warehouse with clustering='louvain' must recompute
+    components AND the downstream entities/resolved tables — serving
+    entities built from the old CC components would be silent staleness
+    (the round-2 advisor finding)."""
+    import json
+
+    fixture = str(tmp_path / "fx3")
+    write_fixture(fixture, n_entities=12, convs_per_entity=3, seed=13)
+    wh = str(tmp_path / "wh3")
+    transcripts = spark.read.parquet(os.path.join(fixture, "transcripts.parquet"))
+    p1 = EntityResolutionPipeline(spark, wh, clustering="cc")
+    p1.run(transcripts)
+    p2 = EntityResolutionPipeline(spark, wh, clustering="louvain")
+    p2.run(transcripts)
+    for stage in ["components", "entities", "resolved_conversations"]:
+        man = json.load(open(p2.ckpt.manifest_path(stage)))
+        assert man["run_id"] == p2.ckpt.run_id, f"{stage} served stale results"
+        assert man["params"]["clustering"] == "louvain"
+    # clustering-independent upstream stages still resume
+    assert (
+        json.load(open(p2.ckpt.manifest_path("scored_pairs")))["run_id"]
+        != p2.ckpt.run_id
+    )
