@@ -155,6 +155,20 @@ def test_checkpoint_invalidates_on_param_change(spark, tmp_path):
     assert conv3["run_id"] != p3.ckpt.run_id  # untouched by the new threshold
 
 
+def test_pipeline_empty_input(spark, tmp_path):
+    """Degenerate inputs must flow through every stage without raising:
+    an empty transcript table yields empty entities/resolved tables (the
+    empty-partition day-one case, not an exotic one at 10^12-row scale)."""
+    empty = spark.createDataFrame(
+        [],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    stages = EntityResolutionPipeline(spark, str(tmp_path / "wh_empty")).run(empty)
+    assert stages["entities"].count() == 0
+    assert stages["resolved_conversations"].count() == 0
+
+
 @pytest.mark.slow
 def test_clustering_change_invalidates_downstream(spark, tmp_path):
     """Resuming the same warehouse with clustering='louvain' must recompute
