@@ -95,6 +95,48 @@ def test_partial_ratio_autojunk_long_inputs():
         assert sim.partial_ratio_reference(a, b) == _fuzzywuzzy_partial_naive(a, b)
 
 
+def test_partial_ratio_fast_bit_equal_difflib():
+    """The batch path's specialized gestalt matcher (`_partial_ratio_fast`,
+    no difflib) must be bit-equal to the difflib-backed
+    `partial_ratio_reference` on every input — short names, the >=200-char
+    autojunk regime on one side, and both sides long."""
+    import random
+
+    rng = random.Random(99)
+    alphabets = ["AB", "ABC ", "ABCDE fgh", "abcdefghijklmnop qrstuvwxyz"]
+    cases = []
+    for _ in range(4000):
+        alpha = rng.choice(alphabets)
+        cases.append(
+            (
+                "".join(rng.choice(alpha) for _ in range(rng.randint(0, 50))),
+                "".join(rng.choice(alpha) for _ in range(rng.randint(0, 60))),
+            )
+        )
+    for _ in range(400):
+        alpha = rng.choice(alphabets)
+        cases.append(
+            (
+                "".join(rng.choice(alpha) for _ in range(rng.randint(0, 80))),
+                "".join(rng.choice(alpha) for _ in range(rng.randint(150, 400))),
+            )
+        )
+    for _ in range(60):
+        alpha = rng.choice(alphabets)
+        cases.append(
+            (
+                "".join(rng.choice(alpha) for _ in range(rng.randint(200, 300))),
+                "".join(rng.choice(alpha) for _ in range(rng.randint(200, 400))),
+            )
+        )
+    cases += [("", ""), ("", "X"), ("A" * 250, "A" * 250), ("DC", "CD" * 101)]
+    for a, b in cases:
+        assert sim._partial_ratio_fast(a, b) == sim.partial_ratio_reference(a, b), (
+            a,
+            b,
+        )
+
+
 def test_jaro_winkler_known_values():
     assert abs(sim.jaro_winkler("MARTHA", "MARHTA") - 0.9611) < 1e-3
     assert sim.jaro_winkler("SAME", "SAME") == 1.0
