@@ -69,20 +69,32 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # --- ER pipeline (the flagship job) ---
+    # min-of-2 like the operator queries below: the sandbox VM
+    # intermittently stalls 10-20s on arbitrary work (hypervisor
+    # co-tenancy); a single sample can report the stall instead of the
+    # pipeline.  Each run gets a fresh warehouse (no checkpoint reuse).
     fixture = _ensure_fixture(SF)
-    wh = tempfile.mkdtemp(prefix="nms_bench_wh_")
-    try:
-        t0 = time.time()
-        pipe = EntityResolutionPipeline(spark, wh)
-        transcripts = spark.read.parquet(os.path.join(fixture, "transcripts.parquet"))
-        stages = pipe.run(transcripts)
-        n_entities = stages["entities"].select("entity_key").distinct().count()
-        er_sec = time.time() - t0
-        timings["er_pipeline"] = round(er_sec, 3)
-        pairs_scored = pipe.ckpt.read("scored_pairs").count()
-        score_sec = max(pipe.timings.get("scored_pairs", er_sec), 1e-9)
-    finally:
-        shutil.rmtree(wh, ignore_errors=True)
+    transcripts = spark.read.parquet(os.path.join(fixture, "transcripts.parquet"))
+    er_sec = score_sec = float("inf")
+    er_stages: dict[str, float] = {}
+    for _ in range(2):
+        wh = tempfile.mkdtemp(prefix="nms_bench_wh_")
+        try:
+            t0 = time.time()
+            pipe = EntityResolutionPipeline(spark, wh)
+            stages = pipe.run(transcripts)
+            n_entities = stages["entities"].select("entity_key").distinct().count()
+            run_sec = time.time() - t0
+            pairs_scored = pipe.ckpt.read("scored_pairs").count()
+            if run_sec < er_sec:
+                er_sec = run_sec
+                er_stages = pipe.timings
+            score_sec = min(
+                score_sec, max(pipe.timings.get("scored_pairs", run_sec), 1e-9)
+            )
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+    timings["er_pipeline"] = round(er_sec, 3)
 
     # --- representative operator queries on the driver tables ---
     # min of two executions per query: the sandbox VM intermittently
@@ -111,7 +123,7 @@ def main() -> None:
                 "er_candidate_pairs_scored": pairs_scored,
                 "er_pairs_scored_per_sec": round(pairs_scored / score_sec, 1),
                 "er_entities": n_entities,
-                "er_stages": pipe.timings,
+                "er_stages": er_stages,
             }
         )
     )
