@@ -238,11 +238,20 @@ def avi_decode(payload: bytes) -> tuple[float, np.ndarray]:
                 _, bw, bh, _, bits, compression = struct.unpack("<IiiHHI", body[:20])
                 if bits != 24 or compression != 0:
                     raise ValueError("only uncompressed 24-bit AVI supported")
+                if bw <= 0 or bh == 0:
+                    raise ValueError("invalid frame dimensions")
                 w, h = bw, abs(bh)
             elif tag[2:4] in (b"db", b"dc") and length > 0:
                 frames.append(body)
 
-    walk(payload[12:])
+    # Malformed/truncated headers surface from struct.unpack as
+    # struct.error, which is NOT a ValueError — normalize so the
+    # multimodal operator's null-feature fallback (which catches
+    # ValueError) holds for every corrupt payload, never a batch abort.
+    try:
+        walk(payload[12:])
+    except struct.error as exc:
+        raise ValueError(f"truncated AVI structure: {exc}") from None
     if w is None or not frames:
         raise ValueError("missing stream format or frames")
     stride = _dib_row_stride(w)

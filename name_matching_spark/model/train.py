@@ -295,9 +295,9 @@ def train(
     model_dir = out_dir or MODEL_DIR
     os.makedirs(model_dir, exist_ok=True)
 
-    def _atomic_write(path: str, payload: str) -> None:
+    def _atomic_write(path: str, payload: str | bytes) -> None:
         tmp = path + ".tmp"
-        with open(tmp, "w") as f:
+        with open(tmp, "wb" if isinstance(payload, bytes) else "w") as f:
             f.write(payload)
         os.replace(tmp, path)  # readers never observe a partial artifact
 
@@ -308,10 +308,7 @@ def train(
     # M9 rendered-figure form: real PNG (repo rasterizer + PNG encoder)
     from name_matching_spark.model.evaluation import render_curves_png
 
-    png_path = os.path.join(model_dir, "eval_curves.png")
-    with open(png_path + ".tmp", "wb") as f:
-        f.write(render_curves_png(curves))
-    os.replace(png_path + ".tmp", png_path)
+    _atomic_write(os.path.join(model_dir, "eval_curves.png"), render_curves_png(curves))
     metrics = {
         "rows": int(len(y)),
         "positives": int(y.sum()),

@@ -110,11 +110,17 @@ def _bucket_pairs(band_rows: DataFrame, max_bucket: int | None) -> DataFrame:
     scale: a boilerplate-duplicate cluster puts 10^5+ near-identical docs
     into ONE bucket, and the dense self-join emits O(n^2) pairs for it.
     Buckets over the cap emit STAR pairs instead — every member paired
-    with the bucket's min key.  For dedup that is lossless: all members
-    of an over-cap bucket collide on a full band signature, the verify
-    stage scores each (min, member) pair, and the drop rule (drop key_y)
-    removes every verified member transitively — linear in bucket size.
-    ``None`` (default) keeps the exact dense semantics."""
+    with the bucket's min key.  For dedup that is tight in practice:
+    over-cap buckets collide on a full band signature (near-identical
+    boilerplate), so verification passes for essentially every
+    (min, member) pair and the drop rule (drop key_y) removes the
+    members transitively — linear in bucket size.  It IS an
+    approximation, not lossless: a member pair (B, C) that would verify
+    while BOTH its star pairs (min, B) and (min, C) fail at the
+    verification margin is emitted by dense mode but not by star mode,
+    and cap truncation likewise relaxes ``simhash_pairs``' pigeonhole
+    completeness guarantee on the affected buckets.  ``None`` (default)
+    keeps the exact dense semantics."""
     if max_bucket is None:
         a, b_ = band_rows.alias("a"), band_rows.alias("b")
         return (
@@ -223,7 +229,13 @@ def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id", bi
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    return docs.select(F.col(key_col).alias("key"), sim.alias("simhash"))
+    # NULL text emits NO row (matching the previous explode-based plan and
+    # the SQL oracle, where unnest over no tokens yields no group) — not a
+    # (key, NULL) row, which would also herd every NULL-sig doc into the
+    # same few bands in simhash_pairs.
+    return docs.where(F.col(text_col).isNotNull()).select(
+        F.col(key_col).alias("key"), sim.alias("simhash")
+    )
 
 
 def simhash_pairs(
@@ -249,7 +261,9 @@ def simhash_pairs(
     16-bit blocks -> 65k buckets/table per the paper) so per-bucket
     populations — and therefore the within-bucket join — stay small; and
     set ``max_bucket`` so boilerplate mega-buckets emit linear star pairs
-    instead of a quadratic self-join (see :func:`_bucket_pairs`)."""
+    instead of a quadratic self-join — noting the cap truncation trades
+    the pigeonhole completeness guarantee for linearity on exactly those
+    buckets (see :func:`_bucket_pairs`)."""
     assert max_hamming < bands, "completeness requires max_hamming < bands"
     # signature materialized ONCE: banding reads it, and the Hamming
     # verify joins it back on both pair sides

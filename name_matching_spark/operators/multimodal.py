@@ -25,6 +25,7 @@ fallback, not byte-shuffling.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -152,7 +153,7 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
                 try:
                     decoder = DECODERS[kind]
                     feats.append([float(v) for v in decoder(payload, dim)])
-                except (KeyError, NotImplementedError, ValueError):
+                except (KeyError, NotImplementedError, ValueError, struct.error):
                     feats.append(None)
                 nbytes.append(0 if payload is None else len(payload))
             yield pd.DataFrame(

@@ -183,6 +183,16 @@ def ivf_topk(
     brute_force_topk (tested)."""
     corpus = emb.select(F.col(key_col).alias("vec_id"), F.col(vec_col).alias("v"))
     n = corpus.count()
+    if n == 0:
+        # degenerate corpus: same empty answer (and schema) as
+        # brute_force_topk, not a numpy AxisError from the quantizer
+        return (
+            queries.select(F.col(query_key_col).alias("query_id"))
+            .limit(0)
+            .withColumn("vec_id", F.lit(None).cast(corpus.schema["vec_id"].dataType))
+            .withColumn("cosine", F.lit(0.0))
+            .withColumn("rank", F.lit(1).cast("int"))
+        )
     denom = max(1, n // train_sample)
     sample_pdf = (
         corpus.where(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(denom)) == 0)

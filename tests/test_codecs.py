@@ -76,6 +76,36 @@ def test_avi_rejects_compressed():
         codecs.avi_decode(bytes(payload))
 
 
+def test_avi_truncated_structures_raise_valueerror():
+    """Malformed headers must surface as ValueError (the multimodal
+    operator's null-feature catch), never struct.error (batch abort)."""
+    import struct
+
+    # strf chunk whose body is too short for the BITMAPINFOHEADER unpack
+    short_strf = (
+        b"RIFF" + struct.pack("<I", 16) + b"AVI " + b"strf" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(ValueError):
+        codecs.avi_decode(short_strf)
+    # strh 'vids' chunk too short for the scale/rate unpack
+    short_strh = (
+        b"RIFF" + struct.pack("<I", 20) + b"AVI " + b"strh" + struct.pack("<I", 8) + b"vids" + b"\x00" * 4
+    )
+    with pytest.raises(ValueError):
+        codecs.avi_decode(short_strh)
+
+
+def test_avi_zero_height_rejected():
+    # biHeight=0 must raise at decode, not ZeroDivisionError in the
+    # feature aspect-ratio math downstream
+    frames = np.zeros((1, 2, 2, 3), dtype=np.uint8)
+    payload = bytearray(codecs.avi_encode(frames))
+    i = payload.index(b"strf")
+    payload[i + 8 + 8 : i + 8 + 12] = (0).to_bytes(4, "little")  # biHeight
+    with pytest.raises(ValueError):
+        codecs.avi_decode(bytes(payload))
+
+
 def test_codec_rejects_garbage():
     with pytest.raises(ValueError):
         codecs.png_decode(b"not a png at all")

@@ -62,6 +62,21 @@ def test_lsh_bucket_cap_star_pairs(spark):
     assert sorted(map(tuple, dense)) == sorted(map(tuple, again))
 
 
+def test_simhash_null_text_emits_no_row(spark):
+    """NULL-text docs produce NO output row (parity with the old
+    explode-based plan and the DuckDB oracle, where unnest over no tokens
+    yields no group) — not a (key, NULL-simhash) row."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", IntegerType()), StructField("text", StringType())]
+    )
+    d = spark.createDataFrame([(0, "alpha beta"), (1, None), (2, "alpha beta")], schema)
+    out = {r["key"]: r["simhash"] for r in dd.simhash(d, bits=16).collect()}
+    assert set(out) == {0, 2}
+    assert out[0] == out[2] and out[0] is not None
+
+
 def test_simhash_hamming(docs):
     sims = {r["key"]: r["simhash"] for r in dd.simhash(docs, bits=32).collect()}
     assert sims[0] == sims[1]
@@ -184,6 +199,57 @@ def test_multimodal_real_decode(spark):
     )
     row = extract_features(bad).collect()[0]
     assert row["feature"] is None
+
+
+def test_corrupt_video_payload_null_feature(spark):
+    """A malformed AVI (truncated strf -> struct-level parse failure) must
+    become a null feature like any other bad payload, not a batch abort."""
+    import struct
+
+    from name_matching_spark.operators.multimodal import MEDIA_SCHEMA
+
+    bad_avi = (
+        b"RIFF" + struct.pack("<I", 16) + b"AVI " + b"strf" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    bad = spark.createDataFrame(
+        [("v", "video", bad_avi, "video/avi", None, None, None)], MEDIA_SCHEMA
+    )
+    row = extract_features(bad).collect()[0]
+    assert row["feature"] is None
+
+
+def test_ivf_topk_empty_corpus(spark):
+    """Degenerate empty corpus: same empty answer (and schema) as
+    brute_force_topk — not a numpy AxisError from the quantizer."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from name_matching_spark.operators.similarity_search import ivf_topk
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    emb = spark.createDataFrame([], schema)
+    q = spark.createDataFrame(
+        [(1, [0.1, 0.2])],
+        StructType(
+            [
+                StructField("query_id", LongType()),
+                StructField("embedding", ArrayType(FloatType())),
+            ]
+        ),
+    )
+    out = ivf_topk(emb, q, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "cosine", "rank"]
 
 
 def test_ann3_ivf_recall_at_k(spark):
