@@ -70,21 +70,51 @@ class EntityResolutionPipeline:
         self.timings[name] = round(time.time() - t0, 3)
         return out
 
-    def _tfidf_stage(self, names: DataFrame) -> str:
-        """Fit (or resume) the corpus-adaptive TF-IDF; returns its JSON."""
+    def _tfidf_stage(self, names: DataFrame, fp: dict) -> tuple[str, dict]:
+        """Fit (or resume) the corpus-adaptive TF-IDF; returns (json, meta).
+
+        The sidecar ``tfidf.json.meta`` records the input fingerprint and a
+        hash of the training corpus the vocabulary was fitted over; a
+        resume serves the stored vocabulary ONLY when both match (the same
+        param-aware rule every table stage follows).  Existence alone is
+        not enough: resuming an existing warehouse against a different
+        transcripts table (or a retrained corpus artifact) must refit, not
+        silently score with the old vocabulary.  The meta file is written
+        LAST — it is the commit marker for the pair.
+        """
+        import hashlib
+
         path = os.path.join(self.ckpt.warehouse, "tfidf.json")
-        if not os.path.exists(path):
-            t0 = time.time()
-            tfidf = TfidfModel.fit_spark(
-                names, name_col="name", extra_corpus=load_train_corpus()
-            )
-            tmp = path + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(tfidf.to_json())
-            os.replace(tmp, path)  # resume must never see a torn artifact
-            self.timings["tfidf"] = round(time.time() - t0, 3)
+        meta_path = path + ".meta"
+        corpus = load_train_corpus()
+        meta = {
+            **fp,
+            "corpus_md5": hashlib.md5(
+                json.dumps(corpus, sort_keys=True).encode()
+            ).hexdigest(),
+        }
+        if os.path.exists(path) and os.path.exists(meta_path):
+            try:
+                with open(meta_path) as f:
+                    stored = json.load(f)
+            except Exception:
+                stored = None
+            if stored == json.loads(json.dumps(meta)):
+                with open(path) as f:
+                    return f.read(), meta
+        t0 = time.time()
+        tfidf = TfidfModel.fit_spark(names, name_col="name", extra_corpus=corpus)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(tfidf.to_json())
+        os.replace(tmp, path)  # resume must never see a torn artifact
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
+        self.timings["tfidf"] = round(time.time() - t0, 3)
         with open(path) as f:
-            return f.read()
+            return f.read(), meta
 
     def run(self, transcripts: DataFrame) -> dict[str, DataFrame]:
         # Input fingerprint: the normalized-plan hash of the input table.
@@ -108,7 +138,7 @@ class EntityResolutionPipeline:
         # Corpus-adaptive TF-IDF: distributed fit over training ∪ resolution
         # names (checkpointed like any stage — only the 10k-term vocab is
         # collected/stored, never the name table).
-        tfidf_json = self._tfidf_stage(names)
+        tfidf_json, tfidf_meta = self._tfidf_stage(names, in_fp)
         block_params = {**in_fp, "max_block": self.max_block}
         pairs = self._stage(
             "candidate_pairs",
@@ -126,10 +156,17 @@ class EntityResolutionPipeline:
         # table is small on disk and AQE would coalesce it to a few
         # partitions, starving the (CPU-bound) scorer of parallelism.
         n_part = self.spark.sparkContext.defaultParallelism * 2
+        # Artifact identity rides in the params: a scored_pairs checkpoint
+        # produced with an older model or TF-IDF vocabulary must not be
+        # served after either artifact changes.
+        import hashlib
+
         score_params = {
             **block_params,
             "threshold": self.threshold,
             "keep_features": self.keep_features,
+            "model_md5": hashlib.md5(self._model_json.encode()).hexdigest(),
+            "tfidf": tfidf_meta,
         }
         scored = self._stage(
             "scored_pairs",

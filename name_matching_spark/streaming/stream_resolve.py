@@ -224,10 +224,17 @@ def assign_stream_batch(
         name_y="cand",
         keep_features=False,
     )
+    # tie-break equal probabilities by entity_key so the assignment is
+    # deterministic across partitionings/reruns (same rule as the batch
+    # pipeline's min-name cluster labels)
     best = (
         scored.where(F.col("prediction") == 1)
         .groupBy("conv_id", "name")
-        .agg(F.max_by("entity_key", "probability").alias("entity_key"))
+        .agg(
+            F.max_by(
+                "entity_key", F.struct(F.col("probability"), F.col("entity_key"))
+            ).alias("entity_key")
+        )
     )
     return nn.join(best, ["conv_id", "name"], "left").withColumn(
         "status",

@@ -51,16 +51,22 @@ ID_COLS = {
     "part": ["p_partkey"],
     "customer": ["c_custkey", "c_nationkey"],
     "orders": ["o_orderkey", "o_custkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
 }
+# fixed-cardinality dimension tables, copied verbatim (TPC-H keeps
+# nation/region constant across scale factors; *_nationkey is NO_SHIFT so
+# the copied dims still join every replica)
+COPY_TABLES = ["nation", "region"]
 # columns whose shift unit must MATCH another table's so joins survive the
 # replica shift: (table, col) -> (table, col) providing the unit
 SHARED_UNITS = {
     ("lineitem", "l_partkey"): ("part", "p_partkey"),
     ("lineitem", "l_orderkey"): ("orders", "o_orderkey"),
+    ("lineitem", "l_suppkey"): ("supplier", "s_suppkey"),
     ("orders", "o_custkey"): ("customer", "c_custkey"),
 }
 # keys that are small-dimension codes, not entity ids — never shift
-NO_SHIFT = {("customer", "c_nationkey")}
+NO_SHIFT = {("customer", "c_nationkey"), ("supplier", "s_nationkey")}
 
 
 def main(out_dir: str) -> None:
@@ -117,6 +123,11 @@ def main(out_dir: str) -> None:
         dest = os.path.join(out_dir, f"{t}.parquet")
         out.repartition(8).write.mode("overwrite").parquet(dest)
         print(f"{t}: {spark.read.parquet(dest).count()} rows -> {dest}")
+    for t in COPY_TABLES:
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        dest = os.path.join(out_dir, f"{t}.parquet")
+        df.write.mode("overwrite").parquet(dest)
+        print(f"{t}: {spark.read.parquet(dest).count()} rows -> {dest} (copied)")
     spark.stop()
 
 

@@ -155,6 +155,51 @@ def test_checkpoint_invalidates_on_param_change(spark, tmp_path):
     assert conv3["run_id"] != p3.ckpt.run_id  # untouched by the new threshold
 
 
+@pytest.mark.slow
+def test_tfidf_sidecar_invalidates_on_input_change(spark, tmp_path):
+    """The TF-IDF vocabulary sidecar must follow the same param-aware
+    resume rule as the table stages: resuming an existing warehouse
+    against a DIFFERENT transcripts table refits the vocabulary (and
+    rescores), instead of silently serving the one fitted on the old
+    corpus."""
+    import json
+
+    fx_a = str(tmp_path / "fxa")
+    fx_b = str(tmp_path / "fxb")
+    write_fixture(fx_a, n_entities=15, convs_per_entity=3, seed=7)
+    write_fixture(fx_b, n_entities=15, convs_per_entity=3, seed=8)
+    wh = str(tmp_path / "wh_tfidf")
+    ta = spark.read.parquet(os.path.join(fx_a, "transcripts.parquet"))
+    tb = spark.read.parquet(os.path.join(fx_b, "transcripts.parquet"))
+
+    p1 = EntityResolutionPipeline(spark, wh)
+    p1.run(ta)
+    tfidf_path = os.path.join(wh, "tfidf.json")
+    with open(tfidf_path) as f:
+        vocab_a = f.read()
+    with open(tfidf_path + ".meta") as f:
+        meta_a = json.load(f)
+
+    # Same input -> sidecar resumes (no refit timing recorded).
+    p2 = EntityResolutionPipeline(spark, wh)
+    p2.run(ta)
+    assert "tfidf" not in p2.timings
+    with open(tfidf_path) as f:
+        assert f.read() == vocab_a
+
+    # Different input -> refit: meta fingerprint changes, vocabulary
+    # refitted, and scored_pairs recomputed under the new tfidf identity.
+    p3 = EntityResolutionPipeline(spark, wh)
+    p3.run(tb)
+    assert "tfidf" in p3.timings
+    with open(tfidf_path + ".meta") as f:
+        meta_b = json.load(f)
+    assert meta_b["input"] != meta_a["input"]
+    man = json.load(open(p3.ckpt.manifest_path("scored_pairs")))
+    assert man["run_id"] == p3.ckpt.run_id
+    assert man["params"]["tfidf"] == meta_b
+
+
 def test_pipeline_empty_input(spark, tmp_path):
     """Degenerate inputs must flow through every stage without raising:
     an empty transcript table yields empty entities/resolved tables (the
