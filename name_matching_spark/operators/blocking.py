@@ -129,6 +129,19 @@ def blocking_keys(
     return key_union.unionByName(lsh).distinct()
 
 
+def materialized_blocking_keys(names: DataFrame, name_col: str = "name", **kw) -> DataFrame:
+    """:func:`blocking_keys`, eagerly materialized (``localCheckpoint``).
+
+    Every consumer references the keys table several times (sizes
+    aggregate + both self-join sides + metrics), and Catalyst does not CSE
+    across subplans — without materialization the metaphone UDF + MinHash
+    aggregates re-execute per reference.  Compute it once and hand the
+    SAME materialized frame to :func:`candidate_pairs` AND
+    :func:`block_stats` (the pipeline does) so the key computation runs
+    exactly once per blocking pass."""
+    return blocking_keys(names, name_col=name_col, **kw).localCheckpoint()
+
+
 def candidate_pairs(
     names: DataFrame,
     name_col: str = "name",
@@ -137,22 +150,24 @@ def candidate_pairs(
     bands: int = 8,
     rows_per_band: int = 1,
     use_metaphone: bool = True,
+    keys: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (name_x < name_y) from the blocked self-join.
 
     The key->size join and the self-join share the ``key`` partitioning, so
     Catalyst reuses the exchange; AQE handles residual skew at runtime.
+    ``keys``: a pre-materialized :func:`materialized_blocking_keys` frame
+    to reuse (must have been built with the same blocking parameters).
     """
-    keys = blocking_keys(
-        names,
-        name_col=name_col,
-        min_token_len=min_token_len,
-        bands=bands,
-        rows_per_band=rows_per_band,
-        use_metaphone=use_metaphone,
-    ).localCheckpoint()  # referenced 4x below (sizes agg + both join sides):
-    # without materialization the metaphone UDF + MinHash aggregates
-    # re-execute per reference (Catalyst does not CSE across subplans)
+    if keys is None:
+        keys = materialized_blocking_keys(
+            names,
+            name_col=name_col,
+            min_token_len=min_token_len,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            use_metaphone=use_metaphone,
+        )
     sizes = keys.groupBy("key").agg(F.count("*").alias("block_size"))
     keys = keys.join(
         sizes.where((F.col("block_size") >= 2) & (F.col("block_size") <= max_block)),
@@ -169,11 +184,18 @@ def candidate_pairs(
 
 
 def block_stats(
-    names: DataFrame, name_col: str = "name", max_block: int = 100, **kw
+    names: DataFrame,
+    name_col: str = "name",
+    max_block: int = 100,
+    keys: DataFrame | None = None,
+    **kw,
 ) -> DataFrame:
     """Per-key block sizes with a purge flag — the lineage/metrics side
-    output for the blocking stage."""
-    keys = blocking_keys(names, name_col=name_col, **kw)
+    output for the blocking stage.  Pass the same materialized ``keys``
+    frame as :func:`candidate_pairs` to avoid recomputing the metaphone +
+    MinHash key table for the metrics pass."""
+    if keys is None:
+        keys = blocking_keys(names, name_col=name_col, **kw)
     return keys.groupBy("key").agg(
         F.count("*").alias("block_size"),
         (F.count("*") > max_block).alias("purged"),

@@ -30,7 +30,11 @@ import os
 from name_matching_spark.functions.tfidf import TfidfModel
 from name_matching_spark.io.checkpoint import CheckpointManager
 from name_matching_spark.model.train import load_artifacts, load_train_corpus
-from name_matching_spark.operators.blocking import block_stats, candidate_pairs
+from name_matching_spark.operators.blocking import (
+    block_stats,
+    candidate_pairs,
+    materialized_blocking_keys,
+)
 from name_matching_spark.operators.canonicalize import canonicalize
 from name_matching_spark.operators.clustering import connected_components
 from name_matching_spark.operators.resolve import entity_table, resolve_records
@@ -140,15 +144,32 @@ class EntityResolutionPipeline:
         # collected/stored, never the name table).
         tfidf_json, tfidf_meta = self._tfidf_stage(names, in_fp)
         block_params = {**in_fp, "max_block": self.max_block}
+        # candidate_pairs and block_metrics consume the SAME blocking-key
+        # table (metaphone UDF + MinHash signatures over every name — the
+        # expensive part of blocking).  Materialize it lazily, on first
+        # use: if both stages resume from checkpoint the keys are never
+        # computed at all; if either recomputes, the other reuses the
+        # same localCheckpoint instead of re-running the key pass.
+        _keys_cache: list = []
+
+        def blocking_keys_once():
+            if not _keys_cache:
+                _keys_cache.append(materialized_blocking_keys(names))
+            return _keys_cache[0]
+
         pairs = self._stage(
             "candidate_pairs",
-            lambda: candidate_pairs(names, max_block=self.max_block),
+            lambda: candidate_pairs(
+                names, max_block=self.max_block, keys=blocking_keys_once()
+            ),
             inputs=["names"],
             params=block_params,
         )
         self._stage(
             "block_metrics",
-            lambda: block_stats(names, max_block=self.max_block),
+            lambda: block_stats(
+                names, max_block=self.max_block, keys=blocking_keys_once()
+            ),
             inputs=["names"],
             params=block_params,
         )

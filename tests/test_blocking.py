@@ -75,6 +75,33 @@ def test_block_purge_cap(spark):
     assert pairs.count() < 6000
 
 
+def test_pipeline_blocking_keys_computed_once(spark, tmp_path, monkeypatch):
+    """candidate_pairs and block_metrics consume the same blocking-key
+    table; a fresh pipeline run must build it exactly once (the metaphone
+    UDF + MinHash signatures are the expensive part of blocking — at sf1
+    the redundant metrics-side recompute cost as much as pairing itself)."""
+    import os
+
+    from name_matching_spark.datagen import write_fixture
+    from name_matching_spark.operators import blocking as bk
+    from name_matching_spark.pipeline import EntityResolutionPipeline
+
+    calls = []
+    real = bk.blocking_keys
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(bk, "blocking_keys", counting)
+    fixture = str(tmp_path / "fx_keys")
+    write_fixture(fixture, n_entities=15, convs_per_entity=2, seed=3)
+    transcripts = spark.read.parquet(os.path.join(fixture, "transcripts.parquet"))
+    pipe = EntityResolutionPipeline(spark, str(tmp_path / "wh_keys"))
+    pipe.run(transcripts)
+    assert len(calls) == 1
+
+
 def test_scorer_plan_single_udf_evaluation(spark):
     """Regression lock for the double-evaluation bug: a filter on the
     scorer's output pushed through the repartition exchange used to
