@@ -75,7 +75,7 @@ def main() -> None:
     # pipeline.  Each run gets a fresh warehouse (no checkpoint reuse).
     fixture = _ensure_fixture(SF)
     transcripts = spark.read.parquet(os.path.join(fixture, "transcripts.parquet"))
-    er_sec = score_sec = float("inf")
+    er_sec = float("inf")
     er_stages: dict[str, float] = {}
     for _ in range(2):
         wh = tempfile.mkdtemp(prefix="nms_bench_wh_")
@@ -86,14 +86,15 @@ def main() -> None:
             n_entities = stages["entities"].select("entity_key").distinct().count()
             run_sec = time.time() - t0
             pairs_scored = pipe.ckpt.read("scored_pairs").count()
+            # ALL reported ER fields come from the single fastest run so
+            # the JSON line is internally consistent (er_stages, the
+            # pairs/sec denominator, and er_pipeline describe ONE run).
             if run_sec < er_sec:
                 er_sec = run_sec
                 er_stages = pipe.timings
-            score_sec = min(
-                score_sec, max(pipe.timings.get("scored_pairs", run_sec), 1e-9)
-            )
         finally:
             shutil.rmtree(wh, ignore_errors=True)
+    score_sec = max(er_stages.get("scored_pairs", er_sec), 1e-9)
     timings["er_pipeline"] = round(er_sec, 3)
 
     # --- representative operator queries on the driver tables ---

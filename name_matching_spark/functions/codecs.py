@@ -255,10 +255,15 @@ def avi_decode(payload: bytes) -> tuple[float, np.ndarray]:
     if w is None or not frames:
         raise ValueError("missing stream format or frames")
     stride = _dib_row_stride(w)
-    out = np.zeros((len(frames), h, w, 3), dtype=np.uint8)
-    for i, fb in enumerate(frames):
+    # Validate every frame against the header-declared geometry BEFORE
+    # allocating: a corrupt header claiming huge bw/bh with tiny chunks
+    # must raise ValueError here, not MemoryError at np.zeros (which would
+    # escape the multimodal operator's null-feature catch).
+    for fb in frames:
         if len(fb) < h * stride:
             raise ValueError("truncated frame")
+    out = np.zeros((len(frames), h, w, 3), dtype=np.uint8)
+    for i, fb in enumerate(frames):
         dib = np.frombuffer(fb[: h * stride], dtype=np.uint8).reshape(h, stride)
         out[i] = dib[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # top-down, RGB
     return fps, out

@@ -19,6 +19,7 @@ dedup, and the CC iterations — everything else is narrow.
 
 from __future__ import annotations
 
+import hashlib
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -84,14 +85,14 @@ class EntityResolutionPipeline:
         not enough: resuming an existing warehouse against a different
         transcripts table (or a retrained corpus artifact) must refit, not
         silently score with the old vocabulary.  The meta file is written
-        LAST — it is the commit marker for the pair.
+        LAST and binds the json CONTENT by hash — a crash between the two
+        writes (new json, old meta) therefore reads as a mismatch and
+        refits, never as a valid pair.
         """
-        import hashlib
-
         path = os.path.join(self.ckpt.warehouse, "tfidf.json")
         meta_path = path + ".meta"
         corpus = load_train_corpus()
-        meta = {
+        fingerprint = {
             **fp,
             "corpus_md5": hashlib.md5(
                 json.dumps(corpus, sort_keys=True).encode()
@@ -101,24 +102,35 @@ class EntityResolutionPipeline:
             try:
                 with open(meta_path) as f:
                     stored = json.load(f)
-            except Exception:
-                stored = None
-            if stored == json.loads(json.dumps(meta)):
                 with open(path) as f:
-                    return f.read(), meta
+                    stored_json = f.read()
+            except Exception:
+                stored = stored_json = None
+            if (
+                stored is not None
+                and {k: stored.get(k) for k in fingerprint}
+                == json.loads(json.dumps(fingerprint))
+                and stored.get("json_md5")
+                == hashlib.md5(stored_json.encode()).hexdigest()
+            ):
+                return stored_json, stored
         t0 = time.time()
         tfidf = TfidfModel.fit_spark(names, name_col="name", extra_corpus=corpus)
+        payload = tfidf.to_json()
+        meta = {
+            **fingerprint,
+            "json_md5": hashlib.md5(payload.encode()).hexdigest(),
+        }
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            f.write(tfidf.to_json())
+            f.write(payload)
         os.replace(tmp, path)  # resume must never see a torn artifact
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, meta_path)
         self.timings["tfidf"] = round(time.time() - t0, 3)
-        with open(path) as f:
-            return f.read(), meta
+        return payload, meta
 
     def run(self, transcripts: DataFrame) -> dict[str, DataFrame]:
         # Input fingerprint: the normalized-plan hash of the input table.
@@ -180,8 +192,6 @@ class EntityResolutionPipeline:
         # Artifact identity rides in the params: a scored_pairs checkpoint
         # produced with an older model or TF-IDF vocabulary must not be
         # served after either artifact changes.
-        import hashlib
-
         score_params = {
             **block_params,
             "threshold": self.threshold,

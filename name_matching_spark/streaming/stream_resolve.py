@@ -224,15 +224,15 @@ def assign_stream_batch(
         name_y="cand",
         keep_features=False,
     )
-    # tie-break equal probabilities by entity_key so the assignment is
-    # deterministic across partitionings/reruns (same rule as the batch
-    # pipeline's min-name cluster labels)
+    # highest probability wins; equal probabilities tie-break to the
+    # SMALLEST entity_key — deterministic across partitionings/reruns and
+    # the same min-key direction as the batch pipeline's cluster labels
     best = (
         scored.where(F.col("prediction") == 1)
         .groupBy("conv_id", "name")
         .agg(
-            F.max_by(
-                "entity_key", F.struct(F.col("probability"), F.col("entity_key"))
+            F.min_by(
+                "entity_key", F.struct(-F.col("probability"), F.col("entity_key"))
             ).alias("entity_key")
         )
     )

@@ -106,6 +106,19 @@ def test_avi_zero_height_rejected():
         codecs.avi_decode(bytes(payload))
 
 
+def test_avi_huge_declared_dims_rejected_before_allocation():
+    # header claims 50000x50000 while the frame chunk is tiny: must raise
+    # ValueError at frame validation, not MemoryError at the 7.5 GB
+    # np.zeros (MemoryError escapes the operator's null-feature catch)
+    frames = np.zeros((1, 2, 2, 3), dtype=np.uint8)
+    payload = bytearray(codecs.avi_encode(frames))
+    i = payload.index(b"strf")
+    payload[i + 8 + 4 : i + 8 + 8] = (50000).to_bytes(4, "little")  # biWidth
+    payload[i + 8 + 8 : i + 8 + 12] = (50000).to_bytes(4, "little")  # biHeight
+    with pytest.raises(ValueError):
+        codecs.avi_decode(bytes(payload))
+
+
 def test_codec_rejects_garbage():
     with pytest.raises(ValueError):
         codecs.png_decode(b"not a png at all")
