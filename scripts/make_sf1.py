@@ -38,8 +38,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-REPLICAS = 10
+# MAKE_SF_REPLICAS=100 MAKE_SF_TABLES=documents,embeddings -> a derived
+# sf10 with just the corpus tables (the second-decade scale check for the
+# dedup/text/ANN operators; replicating the 6M-row lineitem 100x buys no
+# extra evidence for those).  Replicas 1-25 use the Caesar shift (keeps
+# the recorded sf1 byte-identical); replicas >= 26 use a seeded alphabet
+# PERMUTATION instead — a plain shift wraps at 26 and would make replica
+# 26 an exact text clone of replica 0, collapsing the cross-replica
+# disjointness the linearity diagnostic depends on.  Every per-replica
+# transform is still a character bijection, so within-replica similarity
+# structure stays exactly isomorphic to replica 0.
+REPLICAS = int(os.environ.get("MAKE_SF_REPLICAS", "10"))
 SRC = "/root/testdata/sf0.1"
+
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def replica_alphabet(r: int) -> tuple[str, str]:
+    """(from_chars, to_chars) for ``F.translate`` at replica ``r > 0``."""
+    if r < 26:
+        mapped = _LOWER[r:] + _LOWER[:r]  # the original Caesar shift
+    else:
+        import random
+
+        letters = list(_LOWER)
+        random.Random(9000 + r).shuffle(letters)
+        mapped = "".join(letters)
+    return _LOWER + _LOWER.upper(), mapped + mapped.upper()
 
 # table -> id columns to shift (shift unit = max over the FIRST id column,
 # shared across tables that join on it via the per-table mapping below)
@@ -86,7 +111,11 @@ def main(out_dir: str) -> None:
     for key, src in SHARED_UNITS.items():
         units[key] = units[src]
 
+    only = os.environ.get("MAKE_SF_TABLES")
+    wanted = set(only.split(",")) if only else None
     for t, cols in ID_COLS.items():
+        if wanted is not None and t not in wanted:
+            continue
         base = bases[t]
         parts = []
         for r in range(REPLICAS):
@@ -96,24 +125,16 @@ def main(out_dir: str) -> None:
                     continue
                 rep = rep.withColumn(c, F.col(c) + F.lit(r * units[(t, c)]))
             if t == "documents" and r > 0:
-                lower = "abcdefghijklmnopqrstuvwxyz"
-                upper = lower.upper()
-                k = r % 26
-                rep = rep.withColumn(
-                    "text",
-                    F.translate(
-                        "text",
-                        lower + upper,
-                        lower[k:] + lower[:k] + upper[k:] + upper[:k],
-                    ),
-                )
+                src_chars, dst_chars = replica_alphabet(r)
+                rep = rep.withColumn("text", F.translate("text", src_chars, dst_chars))
             if t == "embeddings" and r > 0:
                 dim = F.size("embedding")
+                rot = r % 64  # embeddings are 64-dim; rotate within range
                 rep = rep.withColumn(
                     "embedding",
                     F.concat(
-                        F.slice("embedding", r + 1, dim - r),
-                        F.slice("embedding", 1, r),
+                        F.slice("embedding", rot + 1, dim - rot),
+                        F.slice("embedding", 1, rot),
                     ),
                 )
             parts.append(rep)
@@ -124,6 +145,8 @@ def main(out_dir: str) -> None:
         out.repartition(8).write.mode("overwrite").parquet(dest)
         print(f"{t}: {spark.read.parquet(dest).count()} rows -> {dest}")
     for t in COPY_TABLES:
+        if wanted is not None and t not in wanted:
+            continue
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
         dest = os.path.join(out_dir, f"{t}.parquet")
         df.write.mode("overwrite").parquet(dest)
