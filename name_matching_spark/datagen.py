@@ -270,6 +270,48 @@ def generate_labeled_pairs(
                             "label": 0,
                         }
                     )
+    # ORGA same kind + SAME designator suffix, different core — the region
+    # the shared-token groupings above under-cover: their org pairs mix
+    # short / cross-family designator forms, so "X HOTEL CO LTD" vs
+    # "Y HOTEL CO LTD" (3 of 4 tokens shared) was unseen and the booster
+    # extrapolated it to ~0.99 at resolution scale (measured on the
+    # 10k-entity fixture as a primary mega-merge driver).  Also emit the
+    # syllable-inserted near-miss core at the same designator: a multi-char
+    # core insertion is a DIFFERENT entity (char-level typos are the
+    # positive space; syllable grafts are not).
+    _syll = ["BAR", "KEL", "MON", "TAR", "VIN", "SOR", "LAN", "DRE", "FOS", "GRI"]
+    by_kind: dict[str, list] = {}
+    for ent in ents_list:
+        if ent.ent_type == "ORGA":
+            by_kind.setdefault(ent.full_name.split()[-1], []).append(ent)
+    for kind, members in by_kind.items():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a_core = members[i].full_name.rsplit(" ", 1)[0]
+                b_core = members[j].full_name.rsplit(" ", 1)[0]
+                fam = _ORG_SUFFIX_FAMILIES[int(rng.integers(0, 4))]
+                suf = fam[int(rng.integers(0, len(fam)))]
+                rows.append(
+                    {
+                        "NAME_X": f"{a_core} {kind} {suf}".strip(),
+                        "NAME_Y": f"{b_core} {kind} {suf}".strip(),
+                        "label": 0,
+                    }
+                )
+            # near-miss core: one syllable inserted, same kind + designator
+            a_core = members[i].full_name.rsplit(" ", 1)[0]
+            syl = _syll[int(rng.integers(0, len(_syll)))]
+            k = int(rng.integers(0, len(a_core) + 1))
+            mut = a_core[:k] + syl + a_core[k:]
+            fam = _ORG_SUFFIX_FAMILIES[int(rng.integers(0, 4))]
+            suf = fam[int(rng.integers(0, len(fam)))]
+            rows.append(
+                {
+                    "NAME_X": f"{a_core} {kind} {suf}".strip(),
+                    "NAME_Y": f"{mut} {kind} {suf}".strip(),
+                    "label": 0,
+                }
+            )
     # Random non-confusable negatives for balance.
     for _ in range(len(ents_list) * 4):
         a = ents_list[int(rng.integers(0, len(ents_list)))]

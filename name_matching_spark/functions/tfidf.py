@@ -114,7 +114,7 @@ class TfidfModel:
         name_col: str = "name",
         extra_corpus: list[str] | None = None,
         max_df: float = 0.9,
-        max_features: int = 10000,
+        max_features: int | None = 10000,
     ) -> "TfidfModel":
         """Fit on a (possibly huge) Spark DataFrame of names plus an optional
         driver-side extra corpus.  The document-frequency / term-frequency
@@ -122,6 +122,19 @@ class TfidfModel:
         rows are collected.  Tokenization mirrors :func:`_terms` exactly for
         whitespace-normalized word-character names (which is what the
         normalization stage guarantees).
+
+        ``max_features=None`` means corpus-adaptive: keep every term up to
+        a 1M hard ceiling.  The 10k default mirrors the reference
+        (build_features.py max_features=10000) and is right for its small
+        corpus, but at 10^5+ resolution names a frequency-truncated
+        vocabulary drops exactly the RARE core tokens that distinguish
+        entities, leaving only shared high-frequency tokens (designators,
+        common given names) in vocabulary — cosine then collapses onto
+        those and scores different-core orgs as near-identical (the
+        documented OOV failure mode, measured as a primary driver of
+        cluster over-merge at the 100k-entity scale).  The ceiling bounds
+        the driver/broadcast artifact (~tens of MB); a corpus whose term
+        diversity exceeds it needs the hashing-trick variant instead.
         """
         from pyspark.sql import functions as F
 
@@ -155,7 +168,7 @@ class TfidfModel:
             )
             .where(F.col("df") <= max_df * n_docs)
             .orderBy(F.desc("tf"), F.asc("term"))
-            .limit(max_features)
+            .limit(max_features if max_features is not None else 1_000_000)
             .collect()
         )
         kept = sorted(r["term"] for r in stats)

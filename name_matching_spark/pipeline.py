@@ -37,7 +37,10 @@ from name_matching_spark.operators.blocking import (
     materialized_blocking_keys,
 )
 from name_matching_spark.operators.canonicalize import canonicalize
-from name_matching_spark.operators.clustering import connected_components
+from name_matching_spark.operators.clustering import (
+    connected_components,
+    refined_components,
+)
 from name_matching_spark.operators.resolve import entity_table, resolve_records
 from name_matching_spark.operators.scoring import score_pairs
 
@@ -52,6 +55,8 @@ class EntityResolutionPipeline:
         run_id: str | None = None,
         keep_features: bool = False,
         clustering: str = "cc",
+        refine_max_component: int | None = 16,
+        refine_ladder: tuple[float, ...] = (0.90, 0.95, 0.99),
     ):
         self.spark = spark
         self.ckpt = CheckpointManager(spark, warehouse, run_id)
@@ -61,6 +66,12 @@ class EntityResolutionPipeline:
         # rule's transitive clustering.  "louvain": the reference's exact
         # community semantics (driver-side, size-gated; operators/louvain.py).
         self.clustering = clustering
+        # Components larger than refine_max_component NAMES are re-clustered
+        # on their internal edges up the threshold ladder (clustering.py:
+        # refined_components) — the guard against transitive mega-merges at
+        # corpus scale.  None disables (pure CC at the base threshold).
+        self.refine_max_component = refine_max_component
+        self.refine_ladder = tuple(refine_ladder)
         # keep_features=True persists all 12 per-pair feature columns in the
         # scored_pairs checkpoint (debugging/analysis); default off — at
         # scale it multiplies the Arrow + parquet volume 13x.
@@ -97,6 +108,9 @@ class EntityResolutionPipeline:
             "corpus_md5": hashlib.md5(
                 json.dumps(corpus, sort_keys=True).encode()
             ).hexdigest(),
+            # corpus-adaptive vocabulary (max_features=None): fit config is
+            # part of the identity so a cap change invalidates the sidecar
+            "fit_cfg": "adaptive-1M",
         }
         if os.path.exists(path) and os.path.exists(meta_path):
             try:
@@ -115,7 +129,9 @@ class EntityResolutionPipeline:
             ):
                 return stored_json, stored
         t0 = time.time()
-        tfidf = TfidfModel.fit_spark(names, name_col="name", extra_corpus=corpus)
+        tfidf = TfidfModel.fit_spark(
+            names, name_col="name", extra_corpus=corpus, max_features=None
+        )
         payload = tfidf.to_json()
         meta = {
             **fingerprint,
@@ -215,17 +231,45 @@ class EntityResolutionPipeline:
         if self.clustering == "louvain":
             from name_matching_spark.operators.louvain import louvain_communities
 
-            cluster_fn = louvain_communities
+            def cluster_fn():
+                return louvain_communities(
+                    matches.select(
+                        F.col("name_x").alias("src"), F.col("name_y").alias("dst")
+                    )
+                )
+
+        elif self.refine_max_component is not None:
+
+            def cluster_fn():
+                return refined_components(
+                    matches.select(
+                        F.col("name_x").alias("src"),
+                        F.col("name_y").alias("dst"),
+                        "probability",
+                    ),
+                    max_component=self.refine_max_component,
+                    ladder=self.refine_ladder,
+                )
+
         else:
-            cluster_fn = connected_components
-        cluster_params = {**score_params, "clustering": self.clustering}
+
+            def cluster_fn():
+                return connected_components(
+                    matches.select(
+                        F.col("name_x").alias("src"), F.col("name_y").alias("dst")
+                    )
+                )
+
+        cluster_params = {
+            **score_params,
+            "clustering": self.clustering,
+            "refine_max_component": self.refine_max_component,
+            "refine_ladder": list(self.refine_ladder),
+            "refine_final_louvain": True,
+        }
         components = self._stage(
             "components",
-            lambda: cluster_fn(
-                matches.select(
-                    F.col("name_x").alias("src"), F.col("name_y").alias("dst")
-                )
-            ),
+            cluster_fn,
             inputs=["scored_pairs"],
             params=cluster_params,
         )

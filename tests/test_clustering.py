@@ -103,3 +103,44 @@ def test_cc_distributed_star_matches_driver_union_find(spark):
     assert driver == star
     assert driver["c3n11"] == "c3n00"
     assert star["k5"] == "k0"
+
+
+def test_refined_components_splits_weak_bridges(spark):
+    """Threshold-ladder refinement: an over-cap component is re-clustered
+    on its strong internal edges; weakly-bridged groups split, members
+    with no strong edge become singletons, under-cap components are
+    untouched (byte-identical to plain CC)."""
+    from name_matching_spark.operators.clustering import refined_components
+
+    rows = [
+        # strong clique E-F-G ... weak bridge ... strong pair H-I
+        ("E", "F", 0.99),
+        ("F", "G", 0.99),
+        ("G", "H", 0.86),
+        ("H", "I", 0.99),
+        # weak chain A-B-C-D (over the cap): splits entirely into singletons
+        ("A", "B", 0.86),
+        ("B", "C", 0.86),
+        ("C", "D", 0.86),
+        # small strong pair, under the cap: untouched
+        ("X", "Y", 0.99),
+    ]
+    m = spark.createDataFrame(rows, ["src", "dst", "probability"])
+    out = {
+        r["name"]: r["component"]
+        for r in refined_components(m, max_component=3, ladder=(0.90,)).collect()
+    }
+    assert out["E"] == out["F"] == out["G"] == "E"
+    assert out["H"] == out["I"] == "H"
+    assert all(out[n] == n for n in "ABCD")  # singletons
+    assert out["X"] == out["Y"] == "X"
+    # with no cap pressure the result equals plain connected_components
+    all_cc = {
+        r["name"]: r["component"]
+        for r in refined_components(m, max_component=100, ladder=(0.90,)).collect()
+    }
+    plain = {
+        r["name"]: r["component"]
+        for r in connected_components(m.select("src", "dst")).collect()
+    }
+    assert all_cc == plain
