@@ -209,6 +209,73 @@ def connected_components(
     return out
 
 
+def _refine_driver(
+    rows: list,
+    max_component: int,
+    ladder: tuple[float, ...],
+    final_louvain: bool,
+) -> dict:
+    """Driver-side twin of the distributed refinement: identical labels
+    (min-name CC, same ladder semantics, same Louvain with the subgraph's
+    own 2m).  ``rows`` is the collected (src, dst, prob) edge list."""
+    from collections import Counter
+
+    def cc_local(pairs) -> dict:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        nodes = set()
+        for a, b in pairs:
+            nodes.add(a)
+            nodes.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # root stays the min name -> min-name labels
+        return {x: find(x) for x in nodes}
+
+    comps = cc_local([(a, b) for a, b, _ in rows])
+    for t in ladder:
+        sizes = Counter(comps.values())
+        big = {lab for lab, c in sizes.items() if c > max_component}
+        if not big:
+            break
+        bign = {n for n, lab in comps.items() if lab in big}
+        strong = [(a, b) for a, b, p in rows if p >= t and a in bign and b in bign]
+        sub = cc_local(strong)
+        comps = {
+            n: (sub.get(n, n) if lab in big else lab) for n, lab in comps.items()
+        }
+    if final_louvain:
+        sizes = Counter(comps.values())
+        big = {lab for lab, c in sizes.items() if c > max_component}
+        if big:
+            from name_matching_spark.operators.louvain import louvain_driver
+
+            bign = {n for n, lab in comps.items() if lab in big}
+            internal = sorted(
+                {
+                    (min(a, b), max(a, b))
+                    for a, b, _ in rows
+                    if a in bign and b in bign and a != b
+                }
+            )
+            labels = louvain_driver(iter(internal))
+            comps = {
+                n: (labels.get(n, n) if lab in big else lab)
+                for n, lab in comps.items()
+            }
+    return comps
+
+
 def refined_components(
     matches: DataFrame,
     src: str = "src",
@@ -217,6 +284,7 @@ def refined_components(
     max_component: int = 100,
     ladder: tuple[float, ...] = (0.90, 0.95, 0.99),
     final_louvain: bool = True,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components with per-component threshold refinement — the
     scale guard against transitive snowballing.
@@ -255,6 +323,26 @@ def refined_components(
     ``connected_components``.
     """
     edges = matches.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Size-gated driver fast path (same bound as connected_components):
+    # each ladder rung is otherwise several Spark jobs over what is, below
+    # the gate, a tiny graph — fixed scheduling overhead dominated the
+    # components stage (22s of a 62s sf1 pipeline).  Identical labels to
+    # the distributed path (parity-tested).
+    m = matches.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(prob_col).alias("p")
+    ).localCheckpoint()
+    n_edges = m.count()
+    if n_edges <= driver_max_edges:
+        rows = [(r["src"], r["dst"], r["p"]) for r in m.toLocalIterator()]
+        labels = _refine_driver(rows, max_component, ladder, final_louvain)
+        spark = matches.sparkSession
+        node_t = m.schema["src"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [StructField("name", node_t), StructField("component", node_t)]
+        )
+        return spark.createDataFrame(sorted(labels.items()), schema)
     comp = connected_components(edges)
     for t in ladder:
         sizes = comp.groupBy("component").agg(F.count("*").alias("n"))

@@ -144,3 +144,36 @@ def test_refined_components_splits_weak_bridges(spark):
         for r in connected_components(m.select("src", "dst")).collect()
     }
     assert all_cc == plain
+
+
+def test_refined_components_driver_matches_distributed(spark):
+    """The size-gated driver fast path must produce byte-identical labels
+    to the distributed refinement on the same randomized graph."""
+    import random
+
+    from name_matching_spark.operators.clustering import refined_components
+
+    rng = random.Random(17)
+    nodes = [f"N{i:03d}" for i in range(120)]
+    rows = []
+    # dense strong cliques with weak bridges between them, plus noise
+    for c in range(6):
+        block = nodes[c * 20 : (c + 1) * 20]
+        for i in range(len(block)):
+            for j in range(i + 1, min(i + 4, len(block))):
+                rows.append((block[i], block[j], 0.97 + 0.03 * rng.random()))
+        if c:
+            rows.append((nodes[c * 20 - 1], nodes[c * 20], 0.86))
+    for _ in range(60):
+        a, b = rng.sample(nodes, 2)
+        rows.append((min(a, b), max(a, b), 0.85 + 0.14 * rng.random()))
+    m = spark.createDataFrame(rows, ["src", "dst", "probability"])
+    kw = dict(max_component=25, ladder=(0.90, 0.95))
+    fast = {
+        r["name"]: r["component"] for r in refined_components(m, **kw).collect()
+    }
+    dist = {
+        r["name"]: r["component"]
+        for r in refined_components(m, driver_max_edges=0, **kw).collect()
+    }
+    assert fast == dist
