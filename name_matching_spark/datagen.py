@@ -289,7 +289,11 @@ def generate_labeled_pairs(
             for j in range(i + 1, len(members)):
                 a_core = members[i].full_name.rsplit(" ", 1)[0]
                 b_core = members[j].full_name.rsplit(" ", 1)[0]
-                fam = _ORG_SUFFIX_FAMILIES[int(rng.integers(0, 4))]
+                # non-empty designator families only: the bare "X HOTEL" vs
+                # "Y HOTEL" form is already covered by the groupings above
+                fam = _ORG_SUFFIX_FAMILIES[
+                    int(rng.integers(0, len(_ORG_SUFFIX_FAMILIES) - 1))
+                ]
                 suf = fam[int(rng.integers(0, len(fam)))]
                 rows.append(
                     {
@@ -303,7 +307,9 @@ def generate_labeled_pairs(
             syl = _syll[int(rng.integers(0, len(_syll)))]
             k = int(rng.integers(0, len(a_core) + 1))
             mut = a_core[:k] + syl + a_core[k:]
-            fam = _ORG_SUFFIX_FAMILIES[int(rng.integers(0, 4))]
+            fam = _ORG_SUFFIX_FAMILIES[
+                int(rng.integers(0, len(_ORG_SUFFIX_FAMILIES) - 1))
+            ]
             suf = fam[int(rng.integers(0, len(fam)))]
             rows.append(
                 {

@@ -168,9 +168,25 @@ class TfidfModel:
             )
             .where(F.col("df") <= max_df * n_docs)
             .orderBy(F.desc("tf"), F.asc("term"))
-            .limit(max_features if max_features is not None else 1_000_000)
+            .limit((max_features if max_features is not None else 1_000_000) + 1)
             .collect()
         )
+        limit = max_features if max_features is not None else 1_000_000
+        if len(stats) > limit:
+            stats = stats[:limit]
+            if max_features is None:
+                # the adaptive mode exists to PREVENT rare-core truncation;
+                # hitting the ceiling silently would reintroduce the OOV
+                # cosine collapse while claiming the fix is active
+                import warnings
+
+                warnings.warn(
+                    "TfidfModel.fit_spark: corpus-adaptive vocabulary hit the "
+                    f"{limit}-term ceiling; rare discriminating terms are being "
+                    "truncated — switch to a hashed TF-IDF for this corpus size",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         kept = sorted(r["term"] for r in stats)
         dfmap = {r["term"]: r["df"] for r in stats}
         vocab = {t: i for i, t in enumerate(kept)}

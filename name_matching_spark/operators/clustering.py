@@ -214,6 +214,7 @@ def _refine_driver(
     max_component: int,
     ladder: tuple[float, ...],
     final_louvain: bool,
+    louvain_max_edges: int = 1_000_000,
 ) -> dict:
     """Driver-side twin of the distributed refinement: identical labels
     (min-name CC, same ladder semantics, same Louvain with the subgraph's
@@ -221,26 +222,8 @@ def _refine_driver(
     from collections import Counter
 
     def cc_local(pairs) -> dict:
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:
-                parent[x], x = r, parent[x]
-            return r
-
-        nodes = set()
-        for a, b in pairs:
-            nodes.add(a)
-            nodes.add(b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                if rb < ra:
-                    ra, rb = rb, ra
-                parent[rb] = ra  # root stays the min name -> min-name labels
-        return {x: find(x) for x in nodes}
+        # the module's one union-find (min-label, path compression)
+        return dict(_driver_union_find(pairs))
 
     comps = cc_local([(a, b) for a, b, _ in rows])
     for t in ladder:
@@ -268,9 +251,18 @@ def _refine_driver(
                     if a in bign and b in bign and a != b
                 }
             )
-            labels = louvain_driver(iter(internal))
+            # same per-internal-component eligibility gate as the
+            # distributed path: oversized webs keep their ladder labels
+            gcc = cc_local(internal)
+            from collections import Counter as _C
+
+            gedges = _C(gcc[a] for a, _ in internal)
+            ok = {g for g, ne in gedges.items() if ne <= louvain_max_edges}
+            elig = [e for e in internal if gcc[e[0]] in ok]
+            elig_nodes = {n for n, g in gcc.items() if g in ok}
+            labels = louvain_driver(iter(elig)) if elig else {}
             comps = {
-                n: (labels.get(n, n) if lab in big else lab)
+                n: (labels.get(n, n) if n in elig_nodes else lab)
                 for n, lab in comps.items()
             }
     return comps
@@ -285,6 +277,7 @@ def refined_components(
     ladder: tuple[float, ...] = (0.90, 0.95, 0.99),
     final_louvain: bool = True,
     driver_max_edges: int = 1_000_000,
+    louvain_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components with per-component threshold refinement — the
     scale guard against transitive snowballing.
@@ -318,23 +311,50 @@ def refined_components(
 
     Each rung runs CC on a strictly smaller edge set, so the extra cost
     is bounded by ``len(ladder)`` CC runs plus one Louvain pass over the
-    suspect subgraphs only.  Labels stay min-name (deterministic);
-    components under the cap are byte-identical to plain
-    ``connected_components``.
+    suspect subgraphs only.  Residual components whose INTERNAL edge
+    count exceeds ``driver_max_edges`` are left at their ladder result
+    rather than crashing Louvain's per-component gate — a dense web
+    bigger than that is kept, loudly countable in the component-size
+    metrics, not silently split or a stage failure.  Labels stay
+    min-name (deterministic); components under the cap are byte-identical
+    to plain ``connected_components``.
     """
+    assert list(ladder) == sorted(ladder), (
+        "ladder must ascend: a descending rung would re-merge components "
+        f"the previous rung split ({ladder})"
+    )
+    retired: list[DataFrame] = []
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        out = df.localCheckpoint()
+        retired.append(out)
+        return out
+
+    def _done(result: DataFrame) -> DataFrame:
+        for df in retired:
+            if df is not result:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+        return result
+
     edges = matches.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # Size-gated driver fast path (same bound as connected_components):
     # each ladder rung is otherwise several Spark jobs over what is, below
     # the gate, a tiny graph — fixed scheduling overhead dominated the
     # components stage (22s of a 62s sf1 pipeline).  Identical labels to
-    # the distributed path (parity-tested).
+    # the distributed path (parity-tested).  The gate probe is a
+    # limit-count — no materialization of the full edge list just to
+    # count it.
     m = matches.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(prob_col).alias("p")
-    ).localCheckpoint()
-    n_edges = m.count()
-    if n_edges <= driver_max_edges:
+    )
+    if m.limit(driver_max_edges + 1).count() <= driver_max_edges:
         rows = [(r["src"], r["dst"], r["p"]) for r in m.toLocalIterator()]
-        labels = _refine_driver(rows, max_component, ladder, final_louvain)
+        labels = _refine_driver(
+            rows, max_component, ladder, final_louvain, louvain_max_edges
+        )
         spark = matches.sparkSession
         node_t = m.schema["src"].dataType
         from pyspark.sql.types import StructField, StructType
@@ -349,7 +369,7 @@ def refined_components(
         big = sizes.where(F.col("n") > max_component).select("component")
         if big.limit(1).count() == 0:
             break
-        big_names = comp.join(big, "component", "left_semi").localCheckpoint()
+        big_names = _ckpt(comp.join(big, "component", "left_semi"))
         bn = big_names.select("name")
         strong = (
             matches.where(F.col(prob_col) >= t)
@@ -363,11 +383,10 @@ def refined_components(
             .join(sub.select("name"), "name", "left_anti")
             .select("name", F.col("name").alias("component"))
         )
-        comp = (
+        comp = _ckpt(
             comp.join(big, "component", "left_anti")
             .unionByName(sub)
             .unionByName(singles)
-            .localCheckpoint()
         )
     if final_louvain:
         sizes = comp.groupBy("component").agg(F.count("*").alias("n"))
@@ -375,22 +394,50 @@ def refined_components(
         if big.limit(1).count() > 0:
             from name_matching_spark.operators.louvain import louvain_communities
 
-            big_names = comp.join(big, "component", "left_semi").localCheckpoint()
+            # Louvain eligibility: partition the internal subgraph (base
+            # edges among residual-big members) by ITS OWN connected
+            # components — the same unit louvain_communities gates on —
+            # and send only components whose edge count fits the gate.
+            # Oversized webs keep their ladder labels; the guard never
+            # raises.  Ladder components stay atomic under the name-level
+            # swap: each one is internally connected, so it lies wholly
+            # inside one internal-graph component.
+            big_names = _ckpt(comp.join(big, "component", "left_semi"))
             bn = big_names.select("name")
-            internal = (
-                edges.join(bn.withColumnRenamed("name", "src"), "src", "left_semi")
-                .join(bn.withColumnRenamed("name", "dst"), "dst", "left_semi")
+            internal = _ckpt(
+                _canon_edges(
+                    edges.join(
+                        bn.withColumnRenamed("name", "src"), "src", "left_semi"
+                    ).join(bn.withColumnRenamed("name", "dst"), "dst", "left_semi"),
+                    "src",
+                    "dst",
+                ).select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
             )
-            sub = louvain_communities(internal)
+            icc = _ckpt(connected_components(internal))
+            ic = internal.join(
+                icc.select(F.col("name").alias("src"), F.col("component").alias("gid")),
+                "src",
+            )
+            ok_gids = (
+                ic.groupBy("gid")
+                .agg(F.count("*").alias("ne"))
+                .where(F.col("ne") <= louvain_max_edges)
+                .select("gid")
+            )
+            elig_edges = _ckpt(
+                ic.join(ok_gids, "gid", "left_semi").select("src", "dst")
+            )
+            elig_names = icc.join(
+                ok_gids.withColumnRenamed("gid", "component"), "component", "left_semi"
+            ).select("name")
+            sub = louvain_communities(elig_edges, max_edges=louvain_max_edges)
             singles = (
-                big_names.select("name")
-                .join(sub.select("name"), "name", "left_anti")
+                elig_names.join(sub.select("name"), "name", "left_anti")
                 .select("name", F.col("name").alias("component"))
             )
-            comp = (
-                comp.join(big, "component", "left_anti")
+            comp = _ckpt(
+                comp.join(elig_names, "name", "left_anti")
                 .unionByName(sub)
                 .unionByName(singles)
-                .localCheckpoint()
             )
-    return comp
+    return _done(comp)

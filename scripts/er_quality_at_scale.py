@@ -35,9 +35,14 @@ from pyspark.sql import functions as F  # noqa: E402
 
 def pair_f1(spark, resolved, truth_path: str) -> dict:
     truth = spark.read.parquet(truth_path).select("conv_id", "entity_id")
-    j = resolved.select(
-        "conv_id", F.col("name_entity_key").alias("entity_key")
-    ).join(truth, "conv_id")
+    # NULL keys (no extractable name) are unresolvable by design — they must
+    # not be lumped into one giant predicted cluster, which would distort
+    # precision in both directions.  (The standard fixtures have none.)
+    j = (
+        resolved.select("conv_id", F.col("name_entity_key").alias("entity_key"))
+        .where(F.col("entity_key").isNotNull())
+        .join(truth, "conv_id")
+    )
 
     def pairs(col):
         return (F.col(col) * (F.col(col) - 1) / 2).cast("double")
@@ -76,6 +81,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     for n in sizes:
         fixture = os.path.join(REPO, "data", f"bench_transcripts_e{n}")
+        if not os.path.exists(os.path.join(fixture, "truth.parquet")):
+            print(f"skip {fixture}: no truth.parquet", file=sys.stderr)
+            continue
         transcripts = spark.read.parquet(os.path.join(fixture, "transcripts.parquet"))
         wh = tempfile.mkdtemp(prefix="nms_quality_")
         try:

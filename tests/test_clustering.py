@@ -177,3 +177,24 @@ def test_refined_components_driver_matches_distributed(spark):
         for r in refined_components(m, driver_max_edges=0, **kw).collect()
     }
     assert fast == dist
+
+
+def test_refined_components_oversized_web_kept_not_raised(spark):
+    """A residual component whose internal edge count exceeds the Louvain
+    gate keeps its ladder labels — the guard must never raise from inside
+    louvain_communities' per-component limit — identically on the driver
+    and distributed paths."""
+    from name_matching_spark.operators.clustering import refined_components
+
+    clique = [f"W{i:02d}" for i in range(30)]
+    rows = [(a, b, 0.99) for i, a in enumerate(clique) for b in clique[i + 1 :]]
+    m = spark.createDataFrame(rows, ["src", "dst", "probability"])
+    kw = dict(max_component=10, ladder=(0.95,), louvain_max_edges=100)
+    fast = {r["name"]: r["component"] for r in refined_components(m, **kw).collect()}
+    dist = {
+        r["name"]: r["component"]
+        for r in refined_components(m, driver_max_edges=0, **kw).collect()
+    }
+    # 435 internal edges > gate 100: the web is kept intact under "W00"
+    assert fast == dist
+    assert set(fast.values()) == {"W00"} and len(fast) == 30
