@@ -202,6 +202,140 @@ class TfidfModel:
         return json.dumps({"vocab": self.vocab, "idf": self.idf.tolist()})
 
     @classmethod
-    def from_json(cls, payload: str) -> "TfidfModel":
+    def from_json(cls, payload: str):
         obj = json.loads(payload)
+        if obj.get("kind") == "hashed":  # polymorphic artifact dispatch
+            return HashedTfidfModel._from_obj(obj)
         return cls(obj["vocab"], np.asarray(obj["idf"], dtype=np.float64))
+
+
+def _md5_bucket(term: str, n_buckets: int) -> int:
+    """Stable term -> bucket: 60-bit md5 prefix mod n_buckets.  md5 (not
+    xxhash) so the Spark-side SQL expression
+    ``pmod(conv(substring(md5(t),1,15),16,10), B)`` and driver python
+    compute the identical bucket (the same trick the dedup operators use
+    for oracle-stable hashing)."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % n_buckets
+
+
+class HashedTfidfModel:
+    """Hashing-trick TF-IDF — the successor fit for corpora past the
+    adaptive vocabulary's 1M-term ceiling.
+
+    No vocabulary is ever collected: a term maps to one of ``n_buckets``
+    md5-derived buckets and only the per-bucket idf array ships to the
+    driver/broadcast (memory O(n_buckets) REGARDLESS of corpus term
+    diversity — the property a 10^8-name corpus needs).  With
+    ``n_buckets`` far above the distinct-term count, buckets are
+    singletons and the model is numerically identical to an uncapped
+    :class:`TfidfModel` (tested); collisions degrade gracefully (two
+    terms share a weight) rather than dropping terms entirely.
+
+    One deliberate semantic difference: a transform-time term whose
+    bucket was NEVER seen at fit time gets the maximum idf (df=0) instead
+    of TfidfModel's drop-to-zero — rare unseen terms are the
+    discriminating ones, which is exactly the OOV-collapse lesson
+    BENCH/QUALITY.md records.
+    """
+
+    def __init__(self, idf: np.ndarray, n_buckets: int, default_idf: float | None = None):
+        self.idf = np.asarray(idf, dtype=np.float64)
+        self.n_buckets = int(n_buckets)
+        # the unseen-bucket (df=0) weight; needed to serialize sparsely
+        self.default_idf = (
+            float(default_idf)
+            if default_idf is not None
+            else float(self.idf.max(initial=0.0))
+        )
+
+    @classmethod
+    def fit_spark(
+        cls,
+        names_df,
+        name_col: str = "name",
+        extra_corpus: list[str] | None = None,
+        max_df: float = 0.9,
+        n_buckets: int = 1 << 20,
+    ) -> "HashedTfidfModel":
+        from pyspark.sql import functions as F
+
+        docs = names_df.select(F.lower(F.col(name_col)).alias("doc")).distinct()
+        if extra_corpus:
+            spark = names_df.sparkSession
+            extra = spark.createDataFrame(
+                [(c.lower(),) for c in extra_corpus], ["doc"]
+            ).distinct()
+            docs = docs.unionByName(extra).distinct()
+        toks = F.filter(F.split(F.col("doc"), " "), lambda t: F.length(t) >= 2)
+        n_tok = F.size(toks)
+        bigrams = F.zip_with(
+            F.slice(toks, 1, F.greatest(n_tok - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n_tok - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        n_docs = docs.count()
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        )
+        stats = (
+            docs.select("doc", F.concat(toks, bigrams).alias("terms"))
+            .select("doc", F.explode("terms").alias("term"))
+            .select("doc", bucket.alias("b"))
+            .groupBy("b")
+            .agg(F.countDistinct("doc").alias("df"))
+            .collect()  # <= distinct-bucket rows, bounded by n_buckets
+        )
+        idf = np.full(
+            n_buckets, np.log((1.0 + n_docs) / 1.0) + 1.0, dtype=np.float64
+        )
+        max_df_count = max_df * n_docs
+        for r in stats:
+            if r["df"] <= max_df_count:
+                idf[int(r["b"])] = np.log((1.0 + n_docs) / (1.0 + r["df"])) + 1.0
+            else:
+                idf[int(r["b"])] = 0.0  # stop-bucket, same rule as max_df terms
+        return cls(idf, n_buckets, default_idf=np.log(1.0 + n_docs) + 1.0)
+
+    def _doc_weights(self, text: str) -> dict[int, float]:
+        c = Counter(_terms(text))
+        w: dict[int, float] = {}
+        for t, n in c.items():
+            b = _md5_bucket(t, self.n_buckets)
+            w[b] = w.get(b, 0.0) + n * self.idf[b]
+        norm = np.sqrt(sum(v * v for v in w.values()))
+        if norm > 0:
+            w = {k: v / norm for k, v in w.items()}
+        return w
+
+    cosine_pairs = TfidfModel.cosine_pairs  # same sparse-dict pairwise dot
+
+    def to_json(self) -> str:
+        # sparse: store only buckets that differ from the unseen default
+        default = self.default_idf
+        nz = {
+            str(i): float(v)
+            for i, v in enumerate(self.idf)
+            if v != default
+        }
+        return json.dumps(
+            {
+                "kind": "hashed",
+                "n_buckets": self.n_buckets,
+                "default_idf": default,
+                "idf_nz": nz,
+            }
+        )
+
+    @classmethod
+    def _from_obj(cls, obj: dict) -> "HashedTfidfModel":
+        idf = np.full(obj["n_buckets"], obj["default_idf"], dtype=np.float64)
+        for i, v in obj["idf_nz"].items():
+            idf[int(i)] = v
+        return cls(idf, obj["n_buckets"], default_idf=obj["default_idf"])
+
+    @classmethod
+    def from_json(cls, payload: str) -> "HashedTfidfModel":
+        return cls._from_obj(json.loads(payload))

@@ -57,6 +57,7 @@ class EntityResolutionPipeline:
         clustering: str = "cc",
         refine_max_component: int | None = 16,
         refine_ladder: tuple[float, ...] = (0.90, 0.95, 0.99),
+        tfidf_mode: str = "adaptive",
     ):
         self.spark = spark
         self.ckpt = CheckpointManager(spark, warehouse, run_id)
@@ -72,6 +73,10 @@ class EntityResolutionPipeline:
         # corpus scale.  None disables (pure CC at the base threshold).
         self.refine_max_component = refine_max_component
         self.refine_ladder = tuple(refine_ladder)
+        # "adaptive": corpus-adaptive vocabulary (every term, 1M ceiling).
+        # "hashed": hashing-trick TF-IDF — O(n_buckets) memory regardless
+        # of corpus term diversity; the fit for corpora past the ceiling.
+        self.tfidf_mode = tfidf_mode
         # keep_features=True persists all 12 per-pair feature columns in the
         # scored_pairs checkpoint (debugging/analysis); default off — at
         # scale it multiplies the Arrow + parquet volume 13x.
@@ -108,9 +113,9 @@ class EntityResolutionPipeline:
             "corpus_md5": hashlib.md5(
                 json.dumps(corpus, sort_keys=True).encode()
             ).hexdigest(),
-            # corpus-adaptive vocabulary (max_features=None): fit config is
-            # part of the identity so a cap change invalidates the sidecar
-            "fit_cfg": "adaptive-1M",
+            # fit config is part of the identity so a mode/cap change
+            # invalidates the sidecar
+            "fit_cfg": "hashed-2^20" if self.tfidf_mode == "hashed" else "adaptive-1M",
         }
         if os.path.exists(path) and os.path.exists(meta_path):
             try:
@@ -129,9 +134,16 @@ class EntityResolutionPipeline:
             ):
                 return stored_json, stored
         t0 = time.time()
-        tfidf = TfidfModel.fit_spark(
-            names, name_col="name", extra_corpus=corpus, max_features=None
-        )
+        if self.tfidf_mode == "hashed":
+            from name_matching_spark.functions.tfidf import HashedTfidfModel
+
+            tfidf = HashedTfidfModel.fit_spark(
+                names, name_col="name", extra_corpus=corpus
+            )
+        else:
+            tfidf = TfidfModel.fit_spark(
+                names, name_col="name", extra_corpus=corpus, max_features=None
+            )
         payload = tfidf.to_json()
         meta = {
             **fingerprint,

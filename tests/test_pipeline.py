@@ -200,6 +200,34 @@ def test_tfidf_sidecar_invalidates_on_input_change(spark, tmp_path):
     assert man["params"]["tfidf"] == meta_b
 
 
+def test_pipeline_hashed_tfidf_mode(spark, tmp_path):
+    """tfidf_mode="hashed" runs the whole pipeline on the hashing-trick
+    model (the past-the-vocab-ceiling fit): the scorer loads it through
+    the polymorphic artifact dispatch, entities come out, and the hashed
+    fit resumes under its own fit_cfg identity."""
+    import json
+
+    fixture = str(tmp_path / "fx_h")
+    write_fixture(fixture, n_entities=20, convs_per_entity=3, seed=11)
+    wh = str(tmp_path / "wh_h")
+    transcripts = spark.read.parquet(os.path.join(fixture, "transcripts.parquet"))
+    p1 = EntityResolutionPipeline(spark, wh, tfidf_mode="hashed")
+    out = p1.run(transcripts)
+    assert out["entities"].count() > 0
+    with open(os.path.join(wh, "tfidf.json")) as f:
+        assert json.load(f)["kind"] == "hashed"
+    with open(os.path.join(wh, "tfidf.json.meta")) as f:
+        assert json.load(f)["fit_cfg"] == "hashed-2^20"
+    # resume under the same mode serves the sidecar (no refit timing)
+    p2 = EntityResolutionPipeline(spark, wh, tfidf_mode="hashed")
+    p2.run(transcripts)
+    assert "tfidf" not in p2.timings
+    # switching mode invalidates (fit_cfg mismatch -> refit)
+    p3 = EntityResolutionPipeline(spark, wh)
+    p3.run(transcripts)
+    assert "tfidf" in p3.timings
+
+
 def test_pipeline_empty_input(spark, tmp_path):
     """Degenerate inputs must flow through every stage without raising:
     an empty transcript table yields empty entities/resolved tables (the

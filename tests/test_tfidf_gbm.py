@@ -203,3 +203,37 @@ def test_evaluation_curves_known_values():
     # tied scores collapse into one threshold step
     tied = evaluation_curves([1, 0], [0.5, 0.5])
     assert tied["roc_auc"] == 0.5
+
+
+def test_hashed_tfidf_matches_uncapped_vocab(spark):
+    """With n_buckets far above the term count every bucket is a singleton,
+    so the hashing-trick model must be numerically identical to an
+    uncapped vocabulary fit — and must round-trip through the polymorphic
+    TfidfModel.from_json dispatch."""
+    from name_matching_spark.functions.tfidf import HashedTfidfModel
+
+    corpus = [
+        "ACME GLOBAL HOLDINGS", "ACME GLOBAL", "JOHN WICK", "JONATHAN WICK",
+        "ZENITH HOTEL CO LTD", "ZENITH HOTEL", "MARIA GARCIA", "M GARCIA",
+        "ATLAS BANK", "ATLAS BANK CO LTD",
+    ]
+    names_df = spark.createDataFrame([(c,) for c in corpus], ["name"])
+    dense = TfidfModel.fit_spark(names_df, max_features=None)
+    hashed = HashedTfidfModel.fit_spark(names_df, n_buckets=1 << 20)
+    xs = corpus
+    ys = corpus[1:] + corpus[:1]
+    np.testing.assert_allclose(
+        hashed.cosine_pairs(xs, ys), dense.cosine_pairs(xs, ys), atol=1e-12
+    )
+    # round-trip via the dispatching loader (what the scorer calls)
+    back = TfidfModel.from_json(hashed.to_json())
+    assert isinstance(back, HashedTfidfModel)
+    np.testing.assert_allclose(
+        back.cosine_pairs(xs, ys), hashed.cosine_pairs(xs, ys), atol=0
+    )
+    # unseen terms keep MAX idf instead of dropping to zero: two totally
+    # unseen names with one shared rare token still separate from an
+    # unrelated unseen name (the anti-OOV-collapse behavior)
+    a = hashed.cosine_pairs(["QRZX FOO"], ["QRZX BAR"])[0]
+    b = hashed.cosine_pairs(["QRZX FOO"], ["MLPV BAZ"])[0]
+    assert a > 0.1 and b == 0.0
