@@ -284,9 +284,19 @@ def generate_labeled_pairs(
     for ent in ents_list:
         if ent.ent_type == "ORGA":
             by_kind.setdefault(ent.full_name.split()[-1], []).append(ent)
+    # Cap the quadratic matched-designator pairs per kind group so
+    # labeled-pair volume stays linear in entity count (the cap is far above
+    # anything the default ~200-entity training scale produces, so the rng
+    # sequence — and therefore the committed model artifacts — are unchanged
+    # there; it only binds if the generator is reused for large corpora).
+    _kind_pair_cap = 500
     for kind, members in by_kind.items():
+        emitted = 0
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
+                if emitted >= _kind_pair_cap:
+                    break
+                emitted += 1
                 a_core = members[i].full_name.rsplit(" ", 1)[0]
                 b_core = members[j].full_name.rsplit(" ", 1)[0]
                 # non-empty designator families only: the bare "X HOTEL" vs

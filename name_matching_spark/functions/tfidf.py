@@ -28,6 +28,12 @@ import numpy as np
 
 _TOKEN_RE = re.compile(r"(?u)\b\w\w+\b")
 
+# Hard ceiling for the corpus-adaptive (max_features=None) fit: keeps the
+# collected vocabulary/artifact bounded; corpora past it should use
+# HashedTfidfModel.  Referenced by the pipeline's sidecar fingerprint so a
+# change here invalidates resumed vocabularies.
+ADAPTIVE_VOCAB_CEILING = 1_000_000
+
 
 def _terms(text: str) -> list[str]:
     toks = _TOKEN_RE.findall(text.lower())
@@ -168,10 +174,10 @@ class TfidfModel:
             )
             .where(F.col("df") <= max_df * n_docs)
             .orderBy(F.desc("tf"), F.asc("term"))
-            .limit((max_features if max_features is not None else 1_000_000) + 1)
+            .limit((max_features if max_features is not None else ADAPTIVE_VOCAB_CEILING) + 1)
             .collect()
         )
-        limit = max_features if max_features is not None else 1_000_000
+        limit = max_features if max_features is not None else ADAPTIVE_VOCAB_CEILING
         if len(stats) > limit:
             stats = stats[:limit]
             if max_features is None:

@@ -232,7 +232,11 @@ def _refine_driver(
         if not big:
             break
         bign = {n for n, lab in comps.items() if lab in big}
-        strong = [(a, b) for a, b, p in rows if p >= t and a in bign and b in bign]
+        strong = [
+            (a, b)
+            for a, b, p in rows
+            if p is not None and p >= t and a in bign and b in bign
+        ]
         sub = cc_local(strong)
         comps = {
             n: (sub.get(n, n) if lab in big else lab) for n, lab in comps.items()
@@ -351,7 +355,17 @@ def refined_components(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(prob_col).alias("p")
     )
     if m.limit(driver_max_edges + 1).count() <= driver_max_edges:
-        rows = [(r["src"], r["dst"], r["p"]) for r in m.toLocalIterator()]
+        # Degenerate-edge parity with the distributed path: _canon_edges
+        # drops self-loops (src == dst) before CC, and the ladder's
+        # `prob >= t` column comparison silently drops NULL probabilities —
+        # mirror both here so the two paths agree byte-for-byte on unclean
+        # public-operator inputs (a NULL prob would otherwise TypeError in
+        # Python's `p >= t`, and a self-loop would get a driver-only label).
+        rows = [
+            (r["src"], r["dst"], r["p"])
+            for r in m.toLocalIterator()
+            if r["src"] != r["dst"]
+        ]
         labels = _refine_driver(
             rows, max_component, ladder, final_louvain, louvain_max_edges
         )

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 import json
 import os
 
-from name_matching_spark.functions.tfidf import TfidfModel
+from name_matching_spark.functions.tfidf import ADAPTIVE_VOCAB_CEILING, TfidfModel
 from name_matching_spark.io.checkpoint import CheckpointManager
 from name_matching_spark.model.train import load_artifacts, load_train_corpus
 from name_matching_spark.operators.blocking import (
@@ -58,6 +58,7 @@ class EntityResolutionPipeline:
         refine_max_component: int | None = 16,
         refine_ladder: tuple[float, ...] = (0.90, 0.95, 0.99),
         tfidf_mode: str = "adaptive",
+        tfidf_n_buckets: int = 1 << 20,
     ):
         self.spark = spark
         self.ckpt = CheckpointManager(spark, warehouse, run_id)
@@ -77,6 +78,7 @@ class EntityResolutionPipeline:
         # "hashed": hashing-trick TF-IDF — O(n_buckets) memory regardless
         # of corpus term diversity; the fit for corpora past the ceiling.
         self.tfidf_mode = tfidf_mode
+        self.tfidf_n_buckets = int(tfidf_n_buckets)
         # keep_features=True persists all 12 per-pair feature columns in the
         # scored_pairs checkpoint (debugging/analysis); default off — at
         # scale it multiplies the Arrow + parquet volume 13x.
@@ -114,8 +116,14 @@ class EntityResolutionPipeline:
                 json.dumps(corpus, sort_keys=True).encode()
             ).hexdigest(),
             # fit config is part of the identity so a mode/cap change
-            # invalidates the sidecar
-            "fit_cfg": "hashed-2^20" if self.tfidf_mode == "hashed" else "adaptive-1M",
+            # invalidates the sidecar — derived from the REAL parameter
+            # values, never literals, so changing n_buckets or the adaptive
+            # ceiling cannot silently serve a stale vocabulary on resume
+            "fit_cfg": (
+                f"hashed-{self.tfidf_n_buckets}"
+                if self.tfidf_mode == "hashed"
+                else f"adaptive-{ADAPTIVE_VOCAB_CEILING}"
+            ),
         }
         if os.path.exists(path) and os.path.exists(meta_path):
             try:
@@ -138,7 +146,10 @@ class EntityResolutionPipeline:
             from name_matching_spark.functions.tfidf import HashedTfidfModel
 
             tfidf = HashedTfidfModel.fit_spark(
-                names, name_col="name", extra_corpus=corpus
+                names,
+                name_col="name",
+                extra_corpus=corpus,
+                n_buckets=self.tfidf_n_buckets,
             )
         else:
             tfidf = TfidfModel.fit_spark(

@@ -217,7 +217,7 @@ def test_pipeline_hashed_tfidf_mode(spark, tmp_path):
     with open(os.path.join(wh, "tfidf.json")) as f:
         assert json.load(f)["kind"] == "hashed"
     with open(os.path.join(wh, "tfidf.json.meta")) as f:
-        assert json.load(f)["fit_cfg"] == "hashed-2^20"
+        assert json.load(f)["fit_cfg"] == f"hashed-{1 << 20}"
     # resume under the same mode serves the sidecar (no refit timing)
     p2 = EntityResolutionPipeline(spark, wh, tfidf_mode="hashed")
     p2.run(transcripts)
