@@ -169,19 +169,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def j1_block_pairs(spark, sf):
+        # Mirrors operators/blocking.candidate_pairs structure at demo
+        # scale: blocks in [2,100] pair quadratically; HOT blocks (>100 —
+        # every first-word block at sf1+) are sub-blocked by a secondary
+        # key instead of being dropped, and still-hot sub-blocks emit
+        # linear star pairs (size-1) around a hub.  Output: per level-0
+        # key, the total candidate-pair count from all three routes.
         d = _t(spark, sf, "documents").select(
-            "doc_id", F.split("text", " ")[0].alias("key")
+            "doc_id",
+            F.split("text", " ")[0].alias("k1"),
+            F.coalesce(F.split("text", " ")[1], F.lit("")).alias("k2"),
         )
-        sizes = d.groupBy("key").agg(F.count("*").alias("bs"))
-        keyed = d.join(
-            sizes.where((F.col("bs") >= 2) & (F.col("bs") <= 100)), "key"
-        )
-        a, b = keyed.alias("a"), keyed.alias("b")
-        return (
-            a.join(b, "key")
+        sizes = d.groupBy("k1").agg(F.count("*").alias("bs"))
+        small = d.join(sizes.where((F.col("bs") >= 2) & (F.col("bs") <= 100)), "k1")
+        a, b = small.alias("a"), small.alias("b")
+        p0 = (
+            a.join(b, "k1")
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .groupBy("key")
+            .groupBy("k1")
             .agg(F.count("*").alias("pair_count"))
+        )
+        hot = d.join(sizes.where(F.col("bs") > 100), "k1").withColumn(
+            "sk", F.concat_ws("|", "k1", "k2")
+        )
+        ss = hot.groupBy("k1", "sk").agg(F.count("*").alias("sbs"))
+        sh = hot.join(
+            ss.where((F.col("sbs") >= 2) & (F.col("sbs") <= 100)).select("sk"), "sk"
+        )
+        a2, b2 = sh.alias("a"), sh.alias("b")
+        p1 = (
+            a2.join(b2, "sk")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.k1").alias("k1"))
+            .agg(F.count("*").alias("pair_count"))
+        )
+        p2 = (
+            ss.where(F.col("sbs") > 100)
+            .groupBy("k1")
+            .agg(F.sum(F.col("sbs") - 1).alias("pair_count"))
+        )
+        return (
+            p0.unionByName(p1)
+            .unionByName(p2)
+            .groupBy("k1")
+            .agg(F.sum("pair_count").cast("long").alias("pair_count"))
+            .select(F.col("k1").alias("key"), "pair_count")
         )
 
     def j2_topn_per_key(spark, sf):
@@ -724,14 +756,32 @@ def oracle_sql() -> dict[str, str]:
             select event_id, user_id from events where event_type = 'click'
         """,
         "j1_block_pairs": """
-            with d as (select doc_id, string_split(text, ' ')[1] as key from documents),
-            sized as (
-              select d.* from d
-              join (select key, count(*) bs from d group by key having bs between 2 and 100) s
-              using (key))
-            select a.key, count(*) as pair_count
-            from sized a join sized b on a.key = b.key and a.doc_id < b.doc_id
-            group by a.key
+            with d as (
+              select doc_id,
+                     string_split(text, ' ')[1] as k1,
+                     coalesce(string_split(text, ' ')[2], '') as k2
+              from documents),
+            s as (select k1, count(*) as bs from d group by k1),
+            small as (select d.* from d join s using (k1) where bs between 2 and 100),
+            p0 as (
+              select a.k1, count(*) as pc
+              from small a join small b on a.k1 = b.k1 and a.doc_id < b.doc_id
+              group by a.k1),
+            hot as (
+              select d.*, d.k1 || '|' || d.k2 as sk
+              from d join s using (k1) where bs > 100),
+            ss as (select k1, sk, count(*) as sbs from hot group by k1, sk),
+            sh as (
+              select hot.* from hot
+              join (select sk from ss where sbs between 2 and 100) using (sk)),
+            p1 as (
+              select a.k1, count(*) as pc
+              from sh a join sh b on a.sk = b.sk and a.doc_id < b.doc_id
+              group by a.k1),
+            p2 as (select k1, sum(sbs - 1) as pc from ss where sbs > 100 group by k1)
+            select k1 as key, cast(sum(pc) as bigint) as pair_count
+            from (select * from p0 union all select * from p1 union all select * from p2)
+            group by k1
         """,
         "j2_topn_per_key": """
             select c_nationkey, c_custkey, rnk from (

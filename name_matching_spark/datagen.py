@@ -334,6 +334,65 @@ def generate_labeled_pairs(
         b = ents_list[int(rng.integers(0, len(ents_list)))]
         if a.full_name != b.full_name:
             rows.append({"NAME_X": a.full_name, "NAME_Y": b.full_name, "label": 0})
+    # The dominant FALSE-POSITIVE edge families measured at the 10k-entity
+    # resolution scale once blocking recall recovered to ~0.97
+    # (scripts/debug_merge_analysis.py — each scored 0.999+ pre-fix):
+    #
+    # (a) kind-initial vs org: "H KELGRI" (a PERSON-initial surface form)
+    #     against "KELGRI HOTEL ..." — the single-letter token matches the
+    #     org DESIGNATOR only as an initial; org aliases never take
+    #     initial forms, so the pair is cross-type and always a negative.
+    for ent in ents_list:
+        if ent.ent_type != "ORGA":
+            continue
+        core, kind = ent.full_name.rsplit(" ", 1)
+        fam = _ORG_SUFFIX_FAMILIES[int(rng.integers(0, len(_ORG_SUFFIX_FAMILIES)))]
+        suf = fam[int(rng.integers(0, len(fam)))]
+        rows.append(
+            {
+                "NAME_X": f"{kind[0]} {core}",
+                "NAME_Y": f"{core} {kind} {suf}".strip(),
+                "label": 0,
+            }
+        )
+        rows.append({"NAME_X": f"{kind[0]} {core}", "NAME_Y": f"{kind} {core}", "label": 0})
+    # (b) exact-first + GRAFTED surname: "HELIODORO KASDRE" vs
+    #     "HELIODORO KASDREMON" — the surnames differ by an appended
+    #     syllable (different entity under the syllable-pool grammar).
+    #     Deliberately NARROW: the first name is kept EXACT and the
+    #     diminutive/initial variants are NOT emitted, because the
+    #     reference's positive space contains the mirror shapes
+    #     ("ADRI TENCA"~"ADRIANA TENCALLA", "D BARRIGA"~"BARRIGAS") and
+    #     training on them cost 1.2 points of reference F1 (measured).
+    # (c) merged-form near-miss: "HELIODOROKELDRE" vs "HELIODOROKELGRI" —
+    #     token-merge aliases of different entities sharing the first
+    #     name.  Only LONG merged forms (>= 12 chars) are emitted: short
+    #     single-token pairs with a small tail edit are the reference's
+    #     typo-positive space ("MEYER"~"MEYEN").
+    _graft = ["BAR", "KEL", "MON", "TAR", "VIN", "SOR", "LAN", "DRE", "FOS", "GRI"]
+    for ent in ents_list:
+        if ent.ent_type != "PERS":
+            continue
+        toks = ent.full_name.split()
+        if len(toks) != 2:
+            continue
+        first, last = toks
+        syl = _graft[int(rng.integers(0, len(_graft)))]
+        grafted = last + syl
+        rows.append(
+            {"NAME_X": f"{first} {last}", "NAME_Y": f"{first} {grafted}", "label": 0}
+        )
+        if len(first) + len(last) >= 12:
+            rows.append(
+                {"NAME_X": f"{first}{last}", "NAME_Y": f"{first}{grafted}", "label": 0}
+            )
+            # substituted-syllable merged variant (KELDRE vs KELGRI class)
+            if len(last) > 3:
+                sub = last[:-3] + _graft[int(rng.integers(0, len(_graft)))]
+                if sub != last:
+                    rows.append(
+                        {"NAME_X": f"{first}{last}", "NAME_Y": f"{first}{sub}", "label": 0}
+                    )
     df = pd.DataFrame(rows).drop_duplicates(subset=["NAME_X", "NAME_Y"])
     return df.reset_index(drop=True)
 

@@ -14,9 +14,11 @@ distributed blocked self-join.  A name lands in a block for each of:
 
 Scale levers (explicit per the north rule):
 
-* **block purge**: blocks larger than ``max_block`` names are dropped before
-  pairing (bounding any block at max_block^2/2 pairs) and surfaced in the
-  metrics; hot tokens ("LLC", "INC") otherwise create quadratic blow-ups.
+* **hot-block sub-blocking**: blocks larger than ``max_block`` names are
+  never paired quadratically — their members are re-keyed by secondary
+  MinHash rows (similarity-preserving sub-blocks) and residual oversized
+  sub-blocks emit linear star pairs around a hub, so hot tokens ("LLC",
+  "INC") cost O(members * max_block) instead of quadratic OR zero recall.
 * **AQE skew-join** splits residual skewed partitions at runtime (enabled in
   the session factory).
 * Pair canonicalization (``name_x < name_y``) + hash-aggregate dedup keeps
@@ -50,16 +52,18 @@ def char_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(col: Column, num_hashes: int = 16) -> Column:
+def minhash_signature(col: Column, num_hashes: int = 16, offset: int = 0) -> Column:
     """MinHash signature (array<long> Column) over char-3-gram shingles.
 
     h_k(s) = (a_k * x + b_k) mod p with x = xxhash64(shingle) mod p and
     p = 2^31-1: the classic universal family, overflow-free in int64.
+    ``offset`` shifts the hash-family index so independent consumers (LSH
+    band keys vs hot-block sub-keys) draw disjoint hash functions.
     """
     base = F.transform(char_shingles(col), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
     # Single aggregate pass holding all K mins (separate array_min exprs
     # would re-inline the base array K times — no cross-expression CSE).
-    consts = [_mh_constants(k) for k in range(num_hashes)]
+    consts = [_mh_constants(k + offset) for k in range(num_hashes)]
     init = F.array(*[F.lit(_MH_PRIME).cast("long")] * num_hashes)
 
     def step(acc, v):
@@ -117,16 +121,20 @@ def blocking_keys(
             mp.select(F.concat(F.lit("mp:"), F.col("code")).alias("key"), "name")
         )
 
-    lsh = (
-        names.withColumn("_sig", minhash_signature(c, bands * rows_per_band))
-        .withColumn(
-            "_lsh",
-            lsh_band_keys_from_sig(F.col("_sig"), bands=bands, rows_per_band=rows_per_band),
+    if bands > 0:
+        lsh = (
+            names.withColumn("_sig", minhash_signature(c, bands * rows_per_band))
+            .withColumn(
+                "_lsh",
+                lsh_band_keys_from_sig(
+                    F.col("_sig"), bands=bands, rows_per_band=rows_per_band
+                ),
+            )
+            .select(F.explode("_lsh").alias("key"), c.alias("name"))
+            .select("key", "name")
         )
-        .select(F.explode("_lsh").alias("key"), c.alias("name"))
-        .select("key", "name")
-    )
-    return key_union.unionByName(lsh).distinct()
+        key_union = key_union.unionByName(lsh)
+    return key_union.distinct()
 
 
 def materialized_blocking_keys(names: DataFrame, name_col: str = "name", **kw) -> DataFrame:
@@ -151,8 +159,20 @@ def candidate_pairs(
     rows_per_band: int = 1,
     use_metaphone: bool = True,
     keys: DataFrame | None = None,
+    sub_block: bool = True,
+    sub_rows: int = 4,
 ) -> DataFrame:
     """Distinct candidate pairs (name_x < name_y) from the blocked self-join.
+
+    Blocks within ``[2, max_block]`` pair quadratically (bounded at
+    max_block^2/2 per block).  HOT blocks (> max_block) are NOT dropped:
+    with ``sub_block=True`` (default) their members are re-keyed by
+    ``sub_rows`` secondary MinHash rows — similarity-preserving sub-blocks
+    whose members pair under the same cap — and sub-blocks still over the
+    cap emit linear star pairs around the min-name hub.  Every block's
+    pair contribution is therefore O(members * max_block) worst case, and
+    no key family ever silently contributes zero candidates.
+    ``sub_block=False`` restores the old purge (drop oversized) semantics.
 
     The key->size join and the self-join share the ``key`` partitioning, so
     Catalyst reuses the exchange; AQE handles residual skew at runtime.
@@ -169,18 +189,73 @@ def candidate_pairs(
             use_metaphone=use_metaphone,
         )
     sizes = keys.groupBy("key").agg(F.count("*").alias("block_size"))
-    keys = keys.join(
-        sizes.where((F.col("block_size") >= 2) & (F.col("block_size") <= max_block)),
-        "key",
+    keyed = keys.join(sizes, "key")
+    ok = keyed.where(
+        (F.col("block_size") >= 2) & (F.col("block_size") <= max_block)
     ).select("key", "name")
-    a, b = keys.alias("a"), keys.alias("b")
-    pairs = (
+    pairs = _join_pairs(ok)
+    if sub_block:
+        hot = keyed.where(F.col("block_size") > max_block).select("key", "name")
+        # Secondary MinHash rows (a hash family DISJOINT from the LSH
+        # bands) computed once per distinct hot-member name: a true alias
+        # pair with shingle-Jaccard J lands in the same sub-block on any
+        # given row with probability J, so with r rows the pair survives
+        # with 1-(1-J)^r — recall degrades gracefully instead of zeroing
+        # out when a whole key family goes hot (measured 0.502 truth-pair
+        # recall at 100k entities under the old purge).
+        sec = (
+            hot.select("name")
+            .distinct()
+            .withColumn(
+                "_ss",
+                minhash_signature(F.col("name"), num_hashes=sub_rows, offset=101),
+            )
+        )
+        sub_key = F.array(
+            *[
+                F.concat_ws(
+                    "|", F.col("key"), F.lit(str(i)), F.col("_ss")[i].cast("string")
+                )
+                for i in range(sub_rows)
+            ]
+        )
+        # Materialize the sub-keyed table: it feeds the size aggregate,
+        # both self-join sides and the star fallback — without this the
+        # MinHash aggregate re-executes per reference.
+        sub = (
+            hot.join(sec, "name")
+            .select(F.explode(sub_key).alias("key"), "name")
+            .localCheckpoint()
+        )
+        ssizes = sub.groupBy("key").agg(F.count("*").alias("block_size"))
+        skeyed = sub.join(ssizes, "key")
+        sok = skeyed.where(
+            (F.col("block_size") >= 2) & (F.col("block_size") <= max_block)
+        ).select("key", "name")
+        # Sub-blocks STILL over the cap (low-entropy shingle mass — e.g.
+        # thousands of names sharing one dominant shingle) fall back to
+        # linear STAR pairs around the min-name hub, the same discipline as
+        # the LSH mega-bucket cap in dedup.py: O(size) pairs, hub-mediated
+        # transitive recall, never a quadratic and never zero work.
+        shot = skeyed.where(F.col("block_size") > max_block).select("key", "name")
+        hubs = shot.groupBy("key").agg(F.min("name").alias("hub"))
+        star = (
+            shot.join(hubs, "key")
+            .where(F.col("name") != F.col("hub"))
+            .select(F.col("hub").alias("name_x"), F.col("name").alias("name_y"))
+        )
+        pairs = pairs.unionByName(_join_pairs(sok)).unionByName(star)
+    return pairs.dropDuplicates(["name_x", "name_y"])
+
+
+def _join_pairs(keyed: DataFrame) -> DataFrame:
+    """Canonical (name_x < name_y) pairs from a (key, name) block table."""
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
         a.join(b, "key")
         .where(F.col("a.name") < F.col("b.name"))
         .select(F.col("a.name").alias("name_x"), F.col("b.name").alias("name_y"))
-        .dropDuplicates(["name_x", "name_y"])
     )
-    return pairs
 
 
 def block_stats(
@@ -190,13 +265,15 @@ def block_stats(
     keys: DataFrame | None = None,
     **kw,
 ) -> DataFrame:
-    """Per-key block sizes with a purge flag — the lineage/metrics side
-    output for the blocking stage.  Pass the same materialized ``keys``
-    frame as :func:`candidate_pairs` to avoid recomputing the metaphone +
-    MinHash key table for the metrics pass."""
+    """Per-key block sizes with a hot flag (size > max_block: the block was
+    routed through MinHash sub-blocking / star capping rather than paired
+    quadratically) — the lineage/metrics side output for the blocking
+    stage.  Pass the same materialized ``keys`` frame as
+    :func:`candidate_pairs` to avoid recomputing the metaphone + MinHash
+    key table for the metrics pass."""
     if keys is None:
         keys = blocking_keys(names, name_col=name_col, **kw)
     return keys.groupBy("key").agg(
         F.count("*").alias("block_size"),
-        (F.count("*") > max_block).alias("purged"),
+        (F.count("*") > max_block).alias("hot"),
     )

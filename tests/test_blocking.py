@@ -46,10 +46,12 @@ def test_blocking_pairs_canonical_and_deduped(spark):
     assert len(seen) == 6
 
 
-def test_block_purge_cap(spark):
+def test_block_hot_cap(spark):
     # 150 otherwise-dissimilar names sharing one short hot token ("LLC"):
-    # the tok:LLC block (150 names) must be purged at max_block=100,
-    # preventing the 11k-pair quadratic blow-up.
+    # the tok:LLC block (150 names) exceeds max_block=100 and must be
+    # routed through sub-blocking, never paired quadratically — the
+    # dissimilar members land in (mostly singleton) MinHash sub-blocks, so
+    # total pairs stay far below the 150*149/2 = 11,175 full quadratic.
     import random
 
     rng = random.Random(7)
@@ -65,14 +67,66 @@ def test_block_purge_cap(spark):
     ]
     names = spark.createDataFrame(rows, ["name"])
     stats = block_stats(names, max_block=100)
-    purged = {r["key"] for r in stats.where(F.col("purged")).collect()}
-    assert "tok:LLC" in purged
-    # no surviving block exceeds the cap
-    assert stats.where(~F.col("purged") & (F.col("block_size") > 100)).count() == 0
-    # residual pairs (soundex collisions of random consonant tokens) stay
-    # far below the 150*149/2 = 11,175 full quadratic
+    hot = {r["key"] for r in stats.where(F.col("hot")).collect()}
+    assert "tok:LLC" in hot
+    # no non-hot block exceeds the cap
+    assert stats.where(~F.col("hot") & (F.col("block_size") > 100)).count() == 0
     pairs = candidate_pairs(names, max_block=100)
     assert pairs.count() < 6000
+
+
+def test_hot_block_subblocking_recovers_recall(spark):
+    # The corpus-scale regime in miniature (bands=0 / no metaphone to
+    # isolate it — at small n the LSH band buckets stay small and would
+    # catch every pair through a non-hot route, which is exactly what
+    # stops happening at 100k names): each typo pair's ONLY shared key is
+    # the hot token block.  The old purge semantics dropped such pairs
+    # entirely (recall ~0 here); MinHash sub-blocking must recover the
+    # overwhelming majority (a true pair shares most full-name shingles,
+    # so at least one of the 4 secondary rows agrees w.p. 1-(1-J)^4).
+    import random
+
+    rng = random.Random(13)
+    letters = "BCDFGHJKLMNPQRSTVWXZ"
+    base = ["".join(rng.choice(letters) for _ in range(9)) for _ in range(40)]
+    names, want = [], set()
+    for core in base:
+        a = f"{core} LLC"
+        typo = rng.choice([c for c in letters if c != core[0]]) + core[1:]
+        b = f"{typo} LLC"
+        names += [(a,), (b,)]
+        want.add((min(a, b), max(a, b)))
+    names_df = spark.createDataFrame(names, ["name"])
+    kw = dict(max_block=5, bands=0, use_metaphone=False)
+    sub = candidate_pairs(names_df, **kw)
+    got = {(r["name_x"], r["name_y"]) for r in sub.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.85, f"sub-blocking recall {recall:.3f}"
+    # the purge semantics lose most of these pairs (soundex collisions of
+    # random cores are the only non-hot route left)
+    purged = candidate_pairs(names_df, sub_block=False, **kw)
+    got_purge = {(r["name_x"], r["name_y"]) for r in purged.collect()}
+    assert len(want & got_purge) / len(want) < 0.25
+    assert len(want & got_purge) < len(want & got)
+
+
+def test_hot_block_pair_volume_stays_linear(spark):
+    # Star cap + sub-block cap: 300 members of one hot token at
+    # max_block=10 must produce pair volume linear-ish in members, not the
+    # 300*299/2 = 44,850 quadratic.
+    import random
+
+    rng = random.Random(99)
+    letters = "BCDFGHJKLMNPQRSTVWXZ"
+    rows = [
+        (
+            "".join(rng.choice(letters) for _ in range(12)) + " ZZHOT",
+        )
+        for _ in range(300)
+    ]
+    names = spark.createDataFrame(rows, ["name"])
+    pairs = candidate_pairs(names, max_block=10)
+    assert pairs.count() < 15_000
 
 
 def test_pipeline_blocking_keys_computed_once(spark, tmp_path, monkeypatch):
