@@ -242,6 +242,23 @@ def generate_labeled_pairs(
                     break
             if cnt >= 6:
                 break
+    # Apostrophe-contraction org positives ("CONT'L" -> "CONT L" after
+    # punctuation normalization: truncated prefix + final-letter token —
+    # the reference's own resolved output clusters "HOTEL CONT L" with
+    # "HOTEL CONTINENTAL", data/golden_resolved_txns.csv).  Emitted as
+    # TRAINING pairs only (the fixture alias grammar is unchanged) so the
+    # confusable-negative families cannot push this real positive shape
+    # under the decision threshold.
+    for ent in ents_list:
+        if ent.ent_type != "ORGA":
+            continue
+        core, kind = ent.full_name.rsplit(" ", 1)
+        if len(core) < 6:
+            continue
+        abbr = f"{core[:4]} {core[-1]}"
+        rows.append({"NAME_X": f"{kind} {abbr}", "NAME_Y": f"{kind} {core}", "label": 1})
+        rows.append({"NAME_X": f"{abbr} {kind}", "NAME_Y": f"{core} {kind}", "label": 1})
+        rows.append({"NAME_X": f"{kind} {abbr}", "NAME_Y": f"{core} {kind}", "label": 1})
     # Negatives: confusable cross-entity pairs.
     by_last: dict[str, list] = {}
     by_first: dict[str, list] = {}
@@ -392,6 +409,120 @@ def generate_labeled_pairs(
                 if sub != last:
                     rows.append(
                         {"NAME_X": f"{first}{last}", "NAME_Y": f"{first}{sub}", "label": 0}
+                    )
+    # (d) SUBSTITUTED-syllable cores (the PIKKASMON ~ PIKRAVMON web class,
+    #     measured as the dominant residual FP family once (a)-(c) landed):
+    #     replace one 3-char syllable block of a synthesized core/surname
+    #     with another, SAME remaining tokens.  Guarded to the non-typo
+    #     region: the substituted block must differ from the original by
+    #     >= 2 char edits, because a 1-edit substitution is byte-identical
+    #     to the reference's typo-positive space ("MEYER" ~ "MEYEN").
+    def _sub_block(token: str) -> str | None:
+        if len(token) < 6 or len(token) % 3 != 0:
+            return None
+        k = int(rng.integers(0, len(token) // 3))
+        old = token[k * 3 : k * 3 + 3]
+        new = _graft[int(rng.integers(0, len(_graft)))]
+        if sum(a != b for a, b in zip(old, new)) < 2:
+            return None
+        return token[: k * 3] + new + token[k * 3 + 3 :]
+
+    for ent in ents_list:
+        toks = ent.full_name.split()
+        if ent.ent_type == "ORGA":
+            core, kind = ent.full_name.rsplit(" ", 1)
+            mut = _sub_block(core)
+            if mut is None:
+                continue
+            rows.append({"NAME_X": f"{core} {kind}", "NAME_Y": f"{mut} {kind}", "label": 0})
+            # cross-form designators on the two sides (the observed FP webs
+            # mix "CORP" / "CO LTD" / bare forms freely)
+            fam_a = _ORG_SUFFIX_FAMILIES[int(rng.integers(0, len(_ORG_SUFFIX_FAMILIES)))]
+            fam_b = _ORG_SUFFIX_FAMILIES[int(rng.integers(0, len(_ORG_SUFFIX_FAMILIES)))]
+            suf_a = fam_a[int(rng.integers(0, len(fam_a)))]
+            suf_b = fam_b[int(rng.integers(0, len(fam_b)))]
+            rows.append(
+                {
+                    "NAME_X": f"{core} {kind} {suf_a}".strip(),
+                    "NAME_Y": f"{mut} {kind} {suf_b}".strip(),
+                    "label": 0,
+                }
+            )
+        elif len(toks) == 2:
+            first, last = toks
+            mut = _sub_block(last)
+            if mut is None:
+                continue
+            rows.append({"NAME_X": f"{first} {last}", "NAME_Y": f"{first} {mut}", "label": 0})
+    # (e) shared-first-syllable DIVERGENT surnames/cores (the MARIA KASTAR
+    #     ~ MARIANNE KASLANDRE web class — the dominant residual FP family
+    #     once (d) landed): two entities whose surname/core shares the
+    #     leading syllable then diverges.  Guarded away from the
+    #     reference's positive space ("ADRI TENCA" ~ "ADRIANA TENCALLA":
+    #     suffix-GROWN surname) by requiring that neither token is a
+    #     prefix of the other AND the divergence exceeds the one-char typo
+    #     allowance (token excess >= 2).  First names may be exact or
+    #     diminutive/prefix variants — exactly the surface forms that glue
+    #     the measured webs.
+    def _divergent(a: str, b: str) -> bool:
+        if a == b or a.startswith(b) or b.startswith(a):
+            return False
+        # lev >= abs length difference, so >= 3 there is conclusive;
+        # otherwise the exact distance decides (>= 3 means token excess
+        # >= 2, past the one-char typo allowance).
+        if abs(len(a) - len(b)) >= 3:
+            return True
+        from name_matching_spark.functions.similarity import levenshtein
+
+        return levenshtein(a, b) >= 3
+
+    by_lead: dict[tuple[str, str], list] = {}
+    for ent in ents_list:
+        toks = ent.full_name.split()
+        if ent.ent_type == "PERS" and len(toks) == 2:
+            by_lead.setdefault(("P", toks[1][:3]), []).append(ent)
+        elif ent.ent_type == "ORGA":
+            by_lead.setdefault(("O", toks[0][:3]), []).append(ent)
+    _lead_pair_cap = 300
+    for (side, _), members in sorted(by_lead.items()):
+        emitted = 0
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                if emitted >= _lead_pair_cap:
+                    break
+                a, b = members[i], members[j]
+                at, bt = a.full_name.split(), b.full_name.split()
+                if side == "P":
+                    la, lb = at[1], bt[1]
+                else:
+                    la, lb = at[0], bt[0]
+                if not _divergent(la, lb):
+                    continue
+                emitted += 1
+                rows.append(
+                    {"NAME_X": a.full_name, "NAME_Y": b.full_name, "label": 0}
+                )
+                if side == "P":
+                    # diminutive-first variant on one side (MARI KASTAR ~
+                    # MARIA KASLANDRE) — prefix-compatible firsts are what
+                    # chain the webs
+                    fa = at[0]
+                    dim = fa[: max(3, len(fa) // 2)]
+                    rows.append(
+                        {"NAME_X": f"{dim} {la}", "NAME_Y": b.full_name, "label": 0}
+                    )
+                else:
+                    # bare-kind + designator cross-forms on the org side
+                    fam = _ORG_SUFFIX_FAMILIES[
+                        int(rng.integers(0, len(_ORG_SUFFIX_FAMILIES)))
+                    ]
+                    suf = fam[int(rng.integers(0, len(fam)))]
+                    rows.append(
+                        {
+                            "NAME_X": a.full_name,
+                            "NAME_Y": f"{b.full_name} {suf}".strip(),
+                            "label": 0,
+                        }
                     )
     df = pd.DataFrame(rows).drop_duplicates(subset=["NAME_X", "NAME_Y"])
     return df.reset_index(drop=True)

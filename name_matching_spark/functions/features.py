@@ -30,18 +30,31 @@ FEATURE_COLS = [
     "monge_elkan_jw",
     "core_ratio",
     "token_weakest_link",
+    # Absolute (not length-normalized) edit distance on designator-stripped
+    # sorted-token-collapsed names: separates typo/merge positives (0-2)
+    # from grafted-syllable near-miss cores (3+) that every ratio feature
+    # scores identically on long names.
+    "align_edit",
+    # Max per-aligned-token edit distance beyond the single-substitution
+    # typo allowance: a substituted syllable (2 edits in ONE token) is a
+    # different name; a two-token typo (1 edit in each of two tokens) is
+    # the positive space — identical under every whole-name feature.
+    "token_sub_excess",
 ]
 
 
 def build_features(xs, ys, tfidf: TfidfModel) -> np.ndarray:
-    """(n, 8) float64 feature matrix for aligned batches of *normalized*
-    names.  Inputs must be non-null; empty strings are legal and score 0.
+    """(n, len(FEATURE_COLS)) float64 feature matrix for aligned batches of
+    *normalized* names.  Inputs must be non-null; empty strings are legal
+    and score 0.
     """
     xs = list(xs)
     ys = list(ys)
     # One edit-distance memo per batch: the four ratio variants and the
     # partial-ratio windows repeat many identical string pairs.
     memo: dict = {}
+    # Weakest-link + sub-excess share one token-alignment/JW pass.
+    twl, excess = sim._token_align_stats_batch(xs, ys)
     cols = [
         sim.jaccard_batch(xs, ys),
         tfidf.cosine_pairs(xs, ys),
@@ -54,6 +67,8 @@ def build_features(xs, ys, tfidf: TfidfModel) -> np.ndarray:
         sim.jaro_winkler_batch(xs, ys),
         sim.monge_elkan_jw_batch(xs, ys),
         sim.core_ratio_batch(xs, ys, memo=memo),
-        sim.token_weakest_link_batch(xs, ys, memo=memo),
+        twl,
+        sim.align_edit_batch(xs, ys, memo=memo),
+        excess,
     ]
     return np.column_stack(cols)

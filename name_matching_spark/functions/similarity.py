@@ -890,6 +890,49 @@ def core_ratio_batch(xs, ys, memo: dict | None = None) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Absolute aligned edit distance.  Every ratio-family feature is
+# length-NORMALIZED, which hides the one separation that matters inside
+# dense confusable webs: a true typo/merge alias differs from its partner
+# by 0-2 absolute edits, while a near-miss core (a grafted or substituted
+# syllable — a different entity) differs by 3+, and on long names both
+# land at the same high ratio.  Token sort + space collapse makes the
+# distance invariant to token swaps and merge/split variants; designator
+# stripping makes it invariant to legal-suffix families.
+# ---------------------------------------------------------------------------
+
+_ALIGN_EDIT_CAP = 10
+
+
+def align_core(s: str, sort: bool = True) -> str:
+    toks = strip_legal_suffixes(s).split()
+    return "".join(sorted(toks) if sort else toks)
+
+
+def align_edit(x: str, y: str) -> float:
+    """min over {sorted, original} token order of
+    lev(align_core(x), align_core(y)), capped at 10 — scalar spec twin.
+    The original-order variant guards against the sort flip a first-char
+    typo can cause ("PINQUI TRADING" ~ "PIKQUI TRADING" must stay at 1)."""
+    d = min(
+        levenshtein(align_core(x), align_core(y)),
+        levenshtein(align_core(x, sort=False), align_core(y, sort=False)),
+    )
+    return float(min(d, _ALIGN_EDIT_CAP))
+
+
+def align_edit_batch(xs, ys, memo: dict | None = None) -> np.ndarray:
+    ds = levenshtein_batch(
+        [align_core(s) for s in xs], [align_core(s) for s in ys], memo=memo
+    )
+    do = levenshtein_batch(
+        [align_core(s, sort=False) for s in xs],
+        [align_core(s, sort=False) for s in ys],
+        memo=memo,
+    )
+    return np.minimum(np.minimum(ds, do), _ALIGN_EDIT_CAP).astype(np.float64)
+
+
+# ---------------------------------------------------------------------------
 # Weakest-link token alignment.  True aliases keep EVERY token compatible
 # with its aligned partner (exact, single-char initial, prefix/typo); pairs
 # of different entities sharing a surname have one incompatible token
@@ -931,15 +974,23 @@ def token_weakest_link(x: str, y: str) -> float:
 
 
 def token_weakest_link_batch(xs, ys, memo: dict | None = None) -> np.ndarray:  # noqa: ARG001 — uniform signature
-    """Batch weakest-link: all token-pair similarities are precomputed in
-    one deduped vectorized pass (:func:`_token_sim` overrides resolved in
-    Python — cheap string predicates — and the Jaro-Winkler remainder in
-    ONE :func:`_jw_core_batch` call); the tiny greedy assignment then runs
-    per unique name pair over the precomputed matrix.  Bit-identical to
-    :func:`token_weakest_link`."""
+    """Batch weakest-link (see :func:`_token_align_stats_batch`)."""
+    return _token_align_stats_batch(xs, ys)[0]
+
+
+def _token_align_stats_batch(xs, ys) -> tuple[np.ndarray, np.ndarray]:
+    """(worst_sim, max_excess) per pair in ONE alignment pass.
+
+    All token-pair similarities are precomputed in one deduped vectorized
+    pass (:func:`_token_sim` overrides resolved in Python — cheap string
+    predicates — and the Jaro-Winkler remainder in ONE :func:`_jw_core_batch`
+    call); the tiny greedy assignment then runs per unique name pair over
+    the precomputed matrix.  Bit-identical to :func:`token_weakest_link` /
+    :func:`token_sub_excess`; computing both here lets the scorer pay the
+    alignment + JW precompute once."""
     n = len(xs)
     if n == 0:
-        return np.zeros(0, dtype=np.float64)
+        return np.zeros(0, dtype=np.float64), np.zeros(0, dtype=np.float64)
     ux, uy, back = _unique_pairs(xs, ys)
     u = len(ux)
     # Tokenize with the scalar function's swap-to-shorter convention.
@@ -981,8 +1032,13 @@ def token_weakest_link_batch(xs, ys, memo: dict | None = None) -> np.ndarray:  #
     if need:
         sims[need] = _jw_chunked([ta[i] for i in need], [tb[i] for i in need])
     res = np.zeros(u, dtype=np.float64)
+    # Aligned token-pair ids per unique name pair (excess needs the actual
+    # partners the greedy assignment picked, not just the min similarity).
+    aligned: list[list[int]] = []
     for q in range(u):
         tx, ty = sides[q]
+        chosen: list[int] = []
+        aligned.append(chosen)
         if not tx or not ty:
             continue
         mat = mats[q]
@@ -995,7 +1051,77 @@ def token_weakest_link_batch(xs, ys, memo: dict | None = None) -> np.ndarray:  #
                 s = sims[row[j]]
                 if s > best_s:
                     best_pos, best_s = pos, s
-            remaining.pop(best_pos)
+            chosen.append(row[remaining.pop(best_pos)])
             worst = best_s if best_s < worst else worst
         res[q] = worst
-    return res[back]
+    # Excess per unique TOKEN pair: 0 for the special-cased relations
+    # (equal, initial, prefix containment), else max(0, lev - 1) — one
+    # levenshtein_batch call over the token pairs that need it.
+    excess = np.zeros(len(ta), dtype=np.float64)
+    lev_need = [
+        i
+        for i in range(len(ta))
+        if not (
+            ta[i] == tb[i]
+            or len(ta[i]) == 1
+            or len(tb[i]) == 1
+            or ta[i].startswith(tb[i])
+            or tb[i].startswith(ta[i])
+        )
+    ]
+    if lev_need:
+        d = levenshtein_batch([ta[i] for i in lev_need], [tb[i] for i in lev_need])
+        excess[lev_need] = np.maximum(d.astype(np.float64) - 1.0, 0.0)
+    exc = np.zeros(u, dtype=np.float64)
+    for q in range(u):
+        ids = aligned[q]
+        if ids:
+            exc[q] = min(max(excess[i] for i in ids), _TOKEN_EXCESS_CAP)
+    return res[back], exc[back]
+
+
+_TOKEN_EXCESS_CAP = 5.0
+
+
+def _token_excess(a: str, b: str) -> float:
+    if a == b or len(a) == 1 or len(b) == 1:
+        return 0.0
+    if a.startswith(b) or b.startswith(a):
+        return 0.0
+    return float(max(0, levenshtein(a, b) - 1))
+
+
+def token_sub_excess(x: str, y: str) -> float:
+    """Max over greedily-aligned token pairs of the edit distance BEYOND
+    the single-substitution typo allowance — scalar spec twin.
+
+    The typo alias grammar (reference utils.py:96-129) substitutes at most
+    ONE character per token, so any aligned token pair at edit distance
+    >= 2 that is not an initial/prefix relation is evidence of a different
+    underlying name (e.g. a substituted syllable in a synthesized core:
+    "PIKKASMON" ~ "PIKRAVMON" = 2 edits in one token — no ratio-family
+    feature separates that from a two-token typo alias, which also has 2
+    edits but 1 per token)."""
+    tx, ty = x.split(), y.split()
+    if not tx or not ty:
+        return 0.0
+    if len(tx) > len(ty):
+        tx, ty = ty, tx
+    remaining = list(ty)
+    worst = 0.0
+    for t in tx:
+        best_i, best_s = 0, -1.0
+        for i, v in enumerate(remaining):
+            s = _token_sim(t, v)
+            if s > best_s:
+                best_i, best_s = i, s
+        partner = remaining.pop(best_i)
+        e = _token_excess(t, partner)
+        if e > worst:
+            worst = e
+    return min(worst, _TOKEN_EXCESS_CAP)
+
+
+def token_sub_excess_batch(xs, ys, memo: dict | None = None) -> np.ndarray:  # noqa: ARG001 — uniform signature
+    """Batch twin of :func:`token_sub_excess` (shared alignment pass)."""
+    return _token_align_stats_batch(xs, ys)[1]

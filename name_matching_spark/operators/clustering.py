@@ -215,32 +215,47 @@ def _refine_driver(
     ladder: tuple[float, ...],
     final_louvain: bool,
     louvain_max_edges: int = 1_000_000,
+    evidence: tuple[float, float] | None = None,
 ) -> dict:
     """Driver-side twin of the distributed refinement: identical labels
     (min-name CC, same ladder semantics, same Louvain with the subgraph's
-    own 2m).  ``rows`` is the collected (src, dst, prob) edge list."""
+    own 2m).  ``rows`` is the collected (src, dst, prob, cosine, align)
+    edge list (evidence entries None when the frame has no such columns);
+    ``evidence`` is (min_cosine, max_align) or None to skip the rung."""
     from collections import Counter
 
     def cc_local(pairs) -> dict:
         # the module's one union-find (min-label, path compression)
         return dict(_driver_union_find(pairs))
 
-    comps = cc_local([(a, b) for a, b, _ in rows])
-    for t in ladder:
+    def split_big(comps: dict, keep) -> dict:
         sizes = Counter(comps.values())
         big = {lab for lab, c in sizes.items() if c > max_component}
         if not big:
-            break
+            return comps
         bign = {n for n, lab in comps.items() if lab in big}
         strong = [
-            (a, b)
-            for a, b, p in rows
-            if p is not None and p >= t and a in bign and b in bign
+            (a, b) for a, b, p, c, al in rows
+            if a in bign and b in bign and keep(p, c, al)
         ]
         sub = cc_local(strong)
-        comps = {
+        return {
             n: (sub.get(n, n) if lab in big else lab) for n, lab in comps.items()
         }
+
+    comps = cc_local([(a, b) for a, b, _, _, _ in rows])
+    for t in ladder:
+        prev = comps
+        comps = split_big(comps, lambda p, c, al, t=t: p is not None and p >= t)
+        if comps is prev:
+            break
+    if evidence is not None:
+        cmin, amax = evidence
+        comps = split_big(
+            comps,
+            lambda p, c, al: (c is not None and c >= cmin)
+            or (al is not None and al <= amax),
+        )
     if final_louvain:
         sizes = Counter(comps.values())
         big = {lab for lab, c in sizes.items() if c > max_component}
@@ -251,7 +266,7 @@ def _refine_driver(
             internal = sorted(
                 {
                     (min(a, b), max(a, b))
-                    for a, b, _ in rows
+                    for a, b, _, _, _ in rows
                     if a in bign and b in bign and a != b
                 }
             )
@@ -272,6 +287,275 @@ def _refine_driver(
     return comps
 
 
+def subsumption_edge_cond(
+    twl_col: str = "token_weakest_link", align_col: str = "align_edit"
+) -> "F.Column":
+    """Condition marking a match edge as SUBSUMPTION: every aligned token
+    pair scores 1.0 purely through exact/initial/prefix credit
+    (token_weakest_link == 1.0) while the absolute aligned edit distance
+    is non-zero — one surface form EXTENDS the other ("M KASTAR",
+    "MAR KASTAR", "HELI KASDRE" vs "MARIA KASTAR"; "PIKDRE" vs
+    "PIKDREGRI").  Such an edge is real match EVIDENCE (the pair decision
+    keeps it — reference parity) but ambiguous CLUSTER evidence: an
+    initial or truncation legitimately extends to MANY entities, so at
+    corpus scale these nodes are exactly the hubs that weld unrelated
+    alias cliques into mega-components.  Swap / merge / designator
+    variants have align_edit 0 and keep gluing; typo pairs have
+    token_weakest_link < 1 and keep gluing."""
+    return (F.col(twl_col) >= 0.999999) & (F.col(align_col) >= 1)
+
+
+def attach_subsumed(
+    comp: DataFrame,
+    sub_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    prob_col: str = "probability",
+    rounds: int = 3,
+) -> DataFrame:
+    """Post-clustering attachment of subsumption-only names.
+
+    ``comp``: (name, component) from clustering the GLUE edges only.
+    ``sub_edges``: the subsumption edges excluded from gluing.  A name
+    with no glue-edge cluster (an initial/diminutive form whose every
+    match is subsumption) ATTACHES to the component of its best-scoring
+    clustered partner — highest probability, ties to the smallest
+    component label (deterministic).  Attachment maps names INTO existing
+    components and never links two components, so it cannot re-create the
+    mega-weld it exists to prevent; ``rounds`` passes let chains of
+    subsumed forms ("H KASDRE" whose best partner is the also-subsumed
+    "HELI KASDRE") reach the cluster the chain head attached to.  Names
+    with neither a cluster nor a (transitively) clustered partner stay
+    singletons (the entity-table builder already handles names absent
+    from ``comp``)."""
+    e = (
+        sub_edges.select(
+            F.col(src).alias("name"),
+            F.col(dst).alias("other"),
+            F.col(prob_col).alias("p"),
+        )
+        .unionByName(
+            sub_edges.select(
+                F.col(dst).alias("name"),
+                F.col(src).alias("other"),
+                F.col(prob_col).alias("p"),
+            )
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max(rounds, 1)):
+        unclustered = e.select("name").distinct().join(
+            comp.select("name"), "name", "left_anti"
+        )
+        best = (
+            e.join(unclustered, "name", "left_semi")
+            .join(
+                comp.select(
+                    F.col("name").alias("other"), F.col("component").alias("_tc")
+                ),
+                "other",
+            )
+            .groupBy("name")
+            .agg(
+                F.min_by("_tc", F.struct(-F.col("p"), F.col("_tc"))).alias(
+                    "component"
+                )
+            )
+        )
+        if best.limit(1).count() == 0:
+            break
+        comp = comp.unionByName(best).localCheckpoint()
+    try:
+        e.unpersist()
+    except Exception:
+        pass
+    return comp
+
+
+def subsumption_aware_components(
+    matches: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    prob_col: str = "probability",
+    attach_rounds: int = 3,
+    **refine_kw,
+) -> DataFrame:
+    """The full subsumption-aware clustering composition:
+
+    1. :func:`refined_components` over the GLUE edges only (subsumption
+       edges — :func:`subsumption_edge_cond` — excluded);
+    2. :func:`attach_subsumed`: subsumption-only names attach to their
+       best clustered partner's component (``attach_rounds`` passes so
+       chains resolve);
+    3. residual subsumption families whose members have NO clustered
+       partner anywhere (an entity observed only as full + initial +
+       diminutive forms has no glue-shaped pair at all) are clustered
+       among THEMSELVES under the same refinement discipline — the
+       component cap still guards against an isolated web of ambiguous
+       forms welding at corpus scale.
+
+    Measured (BENCH/QUALITY.md): at 100k entities this composition holds
+    pair precision at 0.66 where gluing subsumption edges collapses to
+    0.13 (800-name initial-form welds); at small scale step 3 restores
+    the isolated-family recall that attachment alone loses.
+
+    Size-adaptive like the rest of this module: below ``driver_max_edges``
+    the whole composition (split, refine, attach rounds, residual) runs
+    driver-side in one collect — the distributed path is ~15 Spark jobs
+    of pure scheduling overhead on a graph that fits in memory.  Labels
+    are identical (the driver twin mirrors each step's tie-breaks)."""
+    if not {"token_weakest_link", "align_edit"} <= set(matches.columns):
+        # no subsumption evidence on this frame — plain refinement
+        return refined_components(
+            matches, src=src, dst=dst, prob_col=prob_col, **refine_kw
+        )
+    driver_max_edges = refine_kw.get("driver_max_edges", 1_000_000)
+    m = matches.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(prob_col).alias("p"),
+        F.col("cosine_sim").alias("c") if "cosine_sim" in matches.columns
+        else F.lit(None).cast("double").alias("c"),
+        F.col("align_edit").alias("al"),
+        F.col("token_weakest_link").alias("twl"),
+    )
+    if m.limit(driver_max_edges + 1).count() <= driver_max_edges:
+        rows = [
+            (r["src"], r["dst"], r["p"], r["c"], r["al"], r["twl"])
+            for r in m.toLocalIterator()
+            if r["src"] != r["dst"]
+        ]
+        labels = _subsumption_aware_driver(
+            rows,
+            max_component=refine_kw.get("max_component", 100),
+            ladder=tuple(refine_kw.get("ladder", (0.90, 0.95, 0.99))),
+            final_louvain=refine_kw.get("final_louvain", True),
+            louvain_max_edges=refine_kw.get("louvain_max_edges", 1_000_000),
+            evidence_rung=refine_kw.get("evidence_rung", True),
+            evidence_min_cosine=refine_kw.get(
+                "evidence_min_cosine", EVIDENCE_MIN_COSINE
+            ),
+            evidence_max_align=refine_kw.get(
+                "evidence_max_align", EVIDENCE_MAX_ALIGN
+            ),
+            attach_rounds=attach_rounds,
+        )
+        from pyspark.sql.types import StructField, StructType
+
+        node_t = m.schema["src"].dataType
+        schema = StructType(
+            [StructField("name", node_t), StructField("component", node_t)]
+        )
+        return matches.sparkSession.createDataFrame(sorted(labels.items()), schema)
+    is_sub = subsumption_edge_cond()
+    glue = matches.where(~is_sub)
+    sub = matches.where(is_sub)
+    comp = refined_components(
+        glue, src=src, dst=dst, prob_col=prob_col, **refine_kw
+    )
+    comp = attach_subsumed(
+        comp, sub, src=src, dst=dst, prob_col=prob_col, rounds=attach_rounds
+    )
+    residual = sub.join(
+        comp.select(F.col("name").alias(src)), src, "left_anti"
+    ).join(comp.select(F.col("name").alias(dst)), dst, "left_anti")
+    if residual.limit(1).count() > 0:
+        comp = comp.unionByName(
+            refined_components(
+                residual, src=src, dst=dst, prob_col=prob_col, **refine_kw
+            )
+        )
+    return comp
+
+
+def _is_sub_row(twl, al) -> bool:
+    """Python twin of :func:`subsumption_edge_cond` (NULLs fail the SQL
+    comparison, so None here is not subsumption either)."""
+    return twl is not None and al is not None and twl >= 0.999999 and al >= 1
+
+
+def _subsumption_aware_driver(
+    rows: list,
+    max_component: int,
+    ladder: tuple[float, ...],
+    final_louvain: bool,
+    louvain_max_edges: int,
+    evidence_rung: bool,
+    evidence_min_cosine: float,
+    evidence_max_align: float,
+    attach_rounds: int,
+) -> dict:
+    """Driver twin of the distributed composition.  ``rows``:
+    (src, dst, p, cosine, align, twl) tuples, self-loops pre-dropped."""
+    from collections import defaultdict
+
+    glue = [(a, b, p, c, al) for a, b, p, c, al, twl in rows
+            if not _is_sub_row(twl, al)]
+    sub = [(a, b, p, c, al) for a, b, p, c, al, twl in rows
+           if _is_sub_row(twl, al)]
+    comp = _refine_driver(
+        glue,
+        max_component,
+        ladder,
+        final_louvain,
+        louvain_max_edges,
+        evidence=(evidence_min_cosine, evidence_max_align)
+        if evidence_rung
+        else None,
+    )
+    # attach rounds: best clustered partner by (max prob, min component)
+    adj: dict = defaultdict(list)
+    for a, b, p, _, _ in sub:
+        adj[a].append((p, b))
+        adj[b].append((p, a))
+    for _ in range(max(attach_rounds, 1)):
+        newly = {}
+        for n, lst in adj.items():
+            if n in comp:
+                continue
+            best = None
+            for p, o in lst:
+                tc = comp.get(o)
+                if tc is None:
+                    continue
+                key = (-p, tc)
+                if best is None or key < best:
+                    best = key
+            if best is not None:
+                newly[n] = best[1]
+        if not newly:
+            break
+        comp.update(newly)
+    # residual all-subsumption families: refine among themselves
+    residual = [
+        (a, b, p, c, al)
+        for a, b, p, c, al in sub
+        if a not in comp and b not in comp
+    ]
+    if residual:
+        comp.update(
+            _refine_driver(
+                residual,
+                max_component,
+                ladder,
+                final_louvain,
+                louvain_max_edges,
+                evidence=(evidence_min_cosine, evidence_max_align)
+                if evidence_rung
+                else None,
+            )
+        )
+    return comp
+
+
+# Evidence-rung defaults (shared with the pipeline's checkpoint params):
+# an edge may glue an OVERSIZED component only if cosine_sim >= the min
+# (a shared IDF-weighted informative token) or align_edit <= the max
+# (near-exact string relation: typo / merge / designator variant).
+EVIDENCE_MIN_COSINE = 0.05
+EVIDENCE_MAX_ALIGN = 1.0
+
+
 def refined_components(
     matches: DataFrame,
     src: str = "src",
@@ -282,6 +566,9 @@ def refined_components(
     final_louvain: bool = True,
     driver_max_edges: int = 1_000_000,
     louvain_max_edges: int = 1_000_000,
+    evidence_rung: bool = True,
+    evidence_min_cosine: float = EVIDENCE_MIN_COSINE,
+    evidence_max_align: float = EVIDENCE_MAX_ALIGN,
 ) -> DataFrame:
     """Connected components with per-component threshold refinement — the
     scale guard against transitive snowballing.
@@ -304,6 +591,13 @@ def refined_components(
        singletons;
     3. repeat up the ladder until every component fits the cap or the
        ladder is exhausted;
+    3b. EVIDENCE rung (``evidence_rung=True``, needs ``cosine_sim`` /
+       ``align_edit`` columns on ``matches`` — the scorer always emits
+       them): probability saturates on corpus-scale confusable webs (the
+       GBM emits 1.0000 for thousands of cross-entity pairs), so inside
+       still-oversized components an edge survives only with distinctive
+       shared evidence — an IDF-weighted shared token (cosine) or a
+       near-exact string relation (align_edit <= 1);
     4. components STILL over the cap after the top rung are dense webs of
        genuinely-confusable high-probability aliases (shared surnames,
        initial forms, org cores differing only in designators) — exactly
@@ -351,8 +645,19 @@ def refined_components(
     # the distributed path (parity-tested).  The gate probe is a
     # limit-count — no materialization of the full edge list just to
     # count it.
+    has_evidence = evidence_rung and {"cosine_sim", "align_edit"} <= set(
+        matches.columns
+    )
+    ev_cols = (
+        [F.col("cosine_sim").alias("c"), F.col("align_edit").alias("al")]
+        if has_evidence
+        else [F.lit(None).cast("double").alias("c"), F.lit(None).cast("double").alias("al")]
+    )
     m = matches.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(prob_col).alias("p")
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(prob_col).alias("p"),
+        *ev_cols,
     )
     if m.limit(driver_max_edges + 1).count() <= driver_max_edges:
         # Degenerate-edge parity with the distributed path: _canon_edges
@@ -362,12 +667,19 @@ def refined_components(
         # public-operator inputs (a NULL prob would otherwise TypeError in
         # Python's `p >= t`, and a self-loop would get a driver-only label).
         rows = [
-            (r["src"], r["dst"], r["p"])
+            (r["src"], r["dst"], r["p"], r["c"], r["al"])
             for r in m.toLocalIterator()
             if r["src"] != r["dst"]
         ]
         labels = _refine_driver(
-            rows, max_component, ladder, final_louvain, louvain_max_edges
+            rows,
+            max_component,
+            ladder,
+            final_louvain,
+            louvain_max_edges,
+            evidence=(evidence_min_cosine, evidence_max_align)
+            if has_evidence
+            else None,
         )
         spark = matches.sparkSession
         node_t = m.schema["src"].dataType
@@ -378,15 +690,19 @@ def refined_components(
         )
         return spark.createDataFrame(sorted(labels.items()), schema)
     comp = connected_components(edges)
-    for t in ladder:
+
+    def _split_big(comp: DataFrame, cond) -> tuple[DataFrame, bool]:
+        """One refinement rung: re-run CC inside oversized components on
+        the internal edges satisfying ``cond``; isolated members become
+        singletons.  Returns (new comp, whether any component was big)."""
         sizes = comp.groupBy("component").agg(F.count("*").alias("n"))
         big = sizes.where(F.col("n") > max_component).select("component")
         if big.limit(1).count() == 0:
-            break
+            return comp, False
         big_names = _ckpt(comp.join(big, "component", "left_semi"))
         bn = big_names.select("name")
         strong = (
-            matches.where(F.col(prob_col) >= t)
+            matches.where(cond)
             .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
             .join(bn.withColumnRenamed("name", "src"), "src", "left_semi")
             .join(bn.withColumnRenamed("name", "dst"), "dst", "left_semi")
@@ -397,10 +713,33 @@ def refined_components(
             .join(sub.select("name"), "name", "left_anti")
             .select("name", F.col("name").alias("component"))
         )
-        comp = _ckpt(
-            comp.join(big, "component", "left_anti")
-            .unionByName(sub)
-            .unionByName(singles)
+        return (
+            _ckpt(
+                comp.join(big, "component", "left_anti")
+                .unionByName(sub)
+                .unionByName(singles)
+            ),
+            True,
+        )
+
+    for t in ladder:
+        comp, had_big = _split_big(comp, F.col(prob_col) >= t)
+        if not had_big:
+            break
+    # Evidence rung: probability alone saturates on dense confusable webs
+    # (the scorer emits 1.0000 for thousands of cross-entity pairs at
+    # corpus scale, so no rung can separate them).  An edge may glue an
+    # OVERSIZED component only when supported by distinctive shared
+    # evidence: a shared informative token (cosine_sim — IDF-weighted, so
+    # generic designators/kind words do not count) or a near-exact string
+    # relation (align_edit <= 1: typo / merge / designator variants).
+    # Skipped transparently when the matches frame carries no evidence
+    # columns (public operator use on bare (src, dst, prob) edges).
+    if has_evidence:
+        comp, _ = _split_big(
+            comp,
+            (F.col("cosine_sim") >= F.lit(evidence_min_cosine))
+            | (F.col("align_edit") <= F.lit(evidence_max_align)),
         )
     if final_louvain:
         sizes = comp.groupBy("component").agg(F.count("*").alias("n"))

@@ -238,6 +238,22 @@ def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id", bi
     )
 
 
+def simhash_auto_bits(corpus_size: int) -> int:
+    """Signature width for a corpus size, from MEASURED saturation points
+    (BENCH/SF10.md): 16-bit saturated at 50k docs (86M bogus pairs), 32-bit
+    GC-thrashed at 500k, 48-bit + star cap healthy at 500k.  Fit:
+    32 bits at <= 50k, +16 bits per decade beyond, rounded up to the next
+    8, capped at 64 (the signature lives in one long).  Past ~5M docs the
+    cap binds — widen ``bands`` / lower ``max_bucket`` instead."""
+    import math
+
+    n = max(int(corpus_size), 1)
+    if n <= 50_000:
+        return 32
+    need = 32.0 + 16.0 * math.log10(n / 50_000)
+    return min(64, int(math.ceil(need / 8.0)) * 8)
+
+
 def simhash_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -246,6 +262,7 @@ def simhash_pairs(
     bands: int = 4,
     max_hamming: int = 3,
     max_bucket: int | None = None,
+    corpus_size_hint: int | None = None,
 ) -> DataFrame:
     """(key_x, key_y, hamming) — near-dup pairs at Hamming distance <=
     ``max_hamming`` over the SimHash, via bit-band bucketing (the
@@ -263,7 +280,17 @@ def simhash_pairs(
     set ``max_bucket`` so boilerplate mega-buckets emit linear star pairs
     instead of a quadratic self-join — noting the cap truncation trades
     the pigeonhole completeness guarantee for linearity on exactly those
-    buckets (see :func:`_bucket_pairs`)."""
+    buckets (see :func:`_bucket_pairs`).
+
+    ``corpus_size_hint``: when supplied, the signature width is raised to
+    :func:`simhash_auto_bits` for that size (never lowered below an
+    explicit ``bits``) and, at sizes past the 50k saturation boundary, the
+    star cap defaults ON (``max_bucket=200``, the value measured healthy
+    at 500k docs) unless the caller set one."""
+    if corpus_size_hint is not None:
+        bits = max(bits, simhash_auto_bits(corpus_size_hint))
+        if max_bucket is None and corpus_size_hint > 50_000:
+            max_bucket = 200
     assert max_hamming < bands, "completeness requires max_hamming < bands"
     # signature materialized ONCE: banding reads it, and the Hamming
     # verify joins it back on both pair sides

@@ -23,13 +23,9 @@ from pyspark.sql import functions as F
 
 from name_matching_spark.functions.features import FEATURE_COLS, build_features
 
-_SCORE_SCHEMA = (
-    "jaccard_sim double, cosine_sim double, ratio double, "
-    "sorted_token_ratio double, token_set_ratio double, partial_ratio double, "
-    "emb_distance double, len_diff double, jaro_winkler double, "
-    "monge_elkan_jw double, core_ratio double, token_weakest_link double, "
-    "probability double"
-)
+# Derived from FEATURE_COLS so a feature added there cannot leave the UDF
+# schema stale (all features are float64 by build_features' contract).
+_SCORE_SCHEMA = ", ".join(f"{c} double" for c in [*FEATURE_COLS, "probability"])
 
 # Executor-side artifact cache: parse JSON once per python worker.
 _ARTIFACT_CACHE: dict = {}
@@ -86,6 +82,25 @@ def make_scorer_udf(model_json: str, tfidf_json: str, spark=None):
     return F.pandas_udf(_score, _SCORE_SCHEMA).asNondeterministic()
 
 
+def _vec_cosine(a, b):
+    """Native (JVM, zip_with/aggregate) cosine of two array columns —
+    the d5 kernel (operators/dedup.py) inlined for the scorer; NULL if
+    either side is NULL or zero-norm."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+        )
+
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot / denom)
+
+
 def score_pairs(
     pairs: DataFrame,
     model_json: str,
@@ -94,13 +109,27 @@ def score_pairs(
     name_x: str = "name_x",
     name_y: str = "name_y",
     keep_features: bool = True,
+    emb_threshold: float = 0.95,
 ) -> DataFrame:
     """Add feature/probability/prediction columns to a pair DataFrame.
 
     Empty/null names score as non-matches rather than aborting the batch
     (the reference's batch path drops such rows to error records,
     predict_model.py:243-289 — here they simply cannot reach threshold).
-    """
+
+    Optional PRE-COMPUTED embedding channel (the reference's F7 slot
+    instantiates a sentence-transformer, build_features.py:89-116 in
+    vietexob/name-matching; this repo's sanctioned stand-in is char-3-gram
+    cosine): when the pairs frame carries ``emb_x`` / ``emb_y`` array
+    columns (user-supplied vectors joined per name), their cosine is
+    computed NATIVELY (zip_with/aggregate — never enters the Python UDF)
+    and a pair whose embedding cosine reaches ``emb_threshold`` is a MATCH
+    even when the string model cannot see it ("IBM" ~ "INTERNATIONAL
+    BUSINESS MACHINES" has zero lexical overlap).  An explicit
+    high-precision OR-rule, not a hidden feature substitution: the GBM's
+    trained feature space is untouched, rows with NULL vectors fall back
+    to the string decision alone, and without the columns the output is
+    byte-identical to before."""
     scorer = make_scorer_udf(model_json, tfidf_json, spark=pairs.sparkSession)
     scored = pairs.withColumn("_s", scorer(F.col(name_x), F.col(name_y)))
     # Decision from the RAW probability; rounding is display-only — exactly
@@ -115,9 +144,28 @@ def score_pairs(
     cols = [c for c in pairs.columns]
     if keep_features:
         cols += [F.col(f"_s.{f}").alias(f) for f in FEATURE_COLS]
+    else:
+        # The three EVIDENCE columns always travel with the decision: the
+        # clustering refinement (clustering.py) needs to know whether an
+        # edge is supported by a shared informative token (cosine) or a
+        # near-exact string relation (align_edit) — generic similarity
+        # mass alone must not glue corpus-scale clusters — and whether it
+        # is a SUBSUMPTION edge (token_weakest_link 1.0 purely via
+        # initial/prefix credit), which attaches rather than glues.
+        cols += [F.col("_s.cosine_sim").alias("cosine_sim"),
+                 F.col("_s.align_edit").alias("align_edit"),
+                 F.col("_s.token_weakest_link").alias("token_weakest_link")]
+    has_emb = {"emb_x", "emb_y"} <= set(pairs.columns)
+    decision = valid & (prob_raw >= F.lit(threshold))
+    if has_emb:
+        emb_cos = _vec_cosine(F.col("emb_x"), F.col("emb_y"))
+        cols += [emb_cos.alias("emb_cosine")]
+        decision = decision | (
+            valid & (F.coalesce(emb_cos, F.lit(-1.0)) >= F.lit(emb_threshold))
+        )
     cols += [
         prob.alias("probability"),
-        F.when(valid & (prob_raw >= F.lit(threshold)), F.lit(1)).otherwise(F.lit(0)).alias("prediction"),
+        F.when(decision, F.lit(1)).otherwise(F.lit(0)).alias("prediction"),
     ]
     scored = scored.select(*cols).withColumn(
         "match_label",

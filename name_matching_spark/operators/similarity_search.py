@@ -129,6 +129,53 @@ def lsh_topk(
     )
 
 
+def embedding_candidates(
+    emb: DataFrame,
+    name_col: str = "name",
+    vec_col: str = "embedding",
+    dim: int = 32,
+    bits: int = 12,
+    tables: int = 4,
+    seed: int = 42,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Canonical (name_x < name_y) candidate pairs from sign-LSH bucket
+    collisions over a pre-computed embedding column — the semantic
+    channel's analog of string blocking (zero-lexical-overlap aliases
+    never co-block on tokens/phonetics/shingles, so without this the
+    scorer's embedding OR-rule would have nothing to score).  Buckets
+    beyond ``max_bucket`` emit linear star pairs around the min-name hub —
+    the same mega-bucket discipline as blocking.py / dedup.py."""
+    planes = _hyperplanes(dim, bits, tables, seed)
+    rows = emb.select(F.col(name_col).alias("name"), F.col(vec_col).alias("v"))
+    keyed = rows.select(
+        "name",
+        F.posexplode(
+            F.array(*[_bucket_expr(F.col("v"), planes[t]) for t in range(tables)])
+        ).alias("tbl", "bucket"),
+    ).select(F.concat_ws("_", "tbl", "bucket").alias("key"), "name")
+    sizes = keyed.groupBy("key").agg(F.count("*").alias("bs"))
+    sized = keyed.join(sizes, "key")
+    ok = sized.where(F.col("bs") <= max_bucket)
+    a, b = ok.alias("a"), ok.alias("b")
+    quad = (
+        a.join(b, "key")
+        .where(F.col("a.name") < F.col("b.name"))
+        .select(F.col("a.name").alias("name_x"), F.col("b.name").alias("name_y"))
+    )
+    hot = sized.where(F.col("bs") > max_bucket)
+    hubs = hot.groupBy("key").agg(F.min("name").alias("hub"))
+    star = (
+        hot.join(hubs, "key")
+        .where(F.col("name") != F.col("hub"))
+        .select(
+            F.least("hub", "name").alias("name_x"),
+            F.greatest("hub", "name").alias("name_y"),
+        )
+    )
+    return quad.unionByName(star).dropDuplicates(["name_x", "name_y"])
+
+
 def _spherical_kmeans(vectors: np.ndarray, n_lists: int, iters: int, seed: int) -> np.ndarray:
     """Seeded Lloyd's iterations on L2-normalized vectors (spherical
     k-means: assign by max dot product, re-estimate as the normalized

@@ -38,8 +38,11 @@ from name_matching_spark.operators.blocking import (
 )
 from name_matching_spark.operators.canonicalize import canonicalize
 from name_matching_spark.operators.clustering import (
+    EVIDENCE_MAX_ALIGN,
+    EVIDENCE_MIN_COSINE,
     connected_components,
     refined_components,
+    subsumption_aware_components,
 )
 from name_matching_spark.operators.resolve import entity_table, resolve_records
 from name_matching_spark.operators.scoring import score_pairs
@@ -55,10 +58,11 @@ class EntityResolutionPipeline:
         run_id: str | None = None,
         keep_features: bool = False,
         clustering: str = "cc",
-        refine_max_component: int | None = 16,
-        refine_ladder: tuple[float, ...] = (0.90, 0.95, 0.99),
+        refine_max_component: int | None = 6,
+        refine_ladder: tuple[float, ...] = (0.92, 0.96, 0.99, 0.995, 0.999),
         tfidf_mode: str = "adaptive",
         tfidf_n_buckets: int = 1 << 20,
+        subsume_attach: bool = True,
     ):
         self.spark = spark
         self.ckpt = CheckpointManager(spark, warehouse, run_id)
@@ -72,6 +76,11 @@ class EntityResolutionPipeline:
         # on their internal edges up the threshold ladder (clustering.py:
         # refined_components) — the guard against transitive mega-merges at
         # corpus scale.  None disables (pure CC at the base threshold).
+        # Defaults from the measured 10k-entity sweep
+        # (scripts/cluster_knob_sweep.py, BENCH/QUALITY.md): 6 ~ the alias
+        # fan-out of one entity, so anything larger faces the ladder; the
+        # 0.995/0.999 rungs exploit the scorer's near-1.0 calibration on
+        # true alias pairs (TP median prob 1.000 vs FP 0.951).
         self.refine_max_component = refine_max_component
         self.refine_ladder = tuple(refine_ladder)
         # "adaptive": corpus-adaptive vocabulary (every term, 1M ceiling).
@@ -79,9 +88,18 @@ class EntityResolutionPipeline:
         # of corpus term diversity; the fit for corpora past the ceiling.
         self.tfidf_mode = tfidf_mode
         self.tfidf_n_buckets = int(tfidf_n_buckets)
-        # keep_features=True persists all 12 per-pair feature columns in the
+        # Route subsumption match edges (initial/diminutive extension
+        # forms — clustering.subsumption_edge_cond) through post-cluster
+        # ATTACHMENT instead of transitive gluing.  Default ON: this is
+        # the guard whose value GROWS with corpus size — measured pair
+        # precision at 100k entities is 0.66 with it and 0.13 without
+        # (ambiguous initial forms weld 800-name mega-clusters), while at
+        # 10k it costs a few precision/recall points against the pure
+        # ladder (BENCH/QUALITY.md knob sweep, both scales).
+        self.subsume_attach = bool(subsume_attach)
+        # keep_features=True persists every per-pair feature column in the
         # scored_pairs checkpoint (debugging/analysis); default off — at
-        # scale it multiplies the Arrow + parquet volume 13x.
+        # scale it multiplies the Arrow + parquet volume ~15x.
         self.keep_features = keep_features
         model, _ = load_artifacts()
         self._model_json = model.to_json()
@@ -171,7 +189,16 @@ class EntityResolutionPipeline:
         self.timings["tfidf"] = round(time.time() - t0, 3)
         return payload, meta
 
-    def run(self, transcripts: DataFrame) -> dict[str, DataFrame]:
+    def run(
+        self, transcripts: DataFrame, embeddings: DataFrame | None = None
+    ) -> dict[str, DataFrame]:
+        """``embeddings``: optional (name, embedding array) table of
+        PRE-COMPUTED vectors for (a subset of) normalized names — the
+        reference's sentence-embedding F7 channel without the model
+        dependency.  Joined per pair side before scoring; pairs whose
+        vectors reach the scorer's ``emb_threshold`` cosine match even
+        with zero lexical overlap (operators/scoring.py).  Names without
+        a vector fall back to the string decision alone."""
         # Input fingerprint: the normalized-plan hash of the input table.
         # Recorded in every stage manifest so a resume against a different
         # transcripts table (or different stage parameters) recomputes
@@ -237,16 +264,59 @@ class EntityResolutionPipeline:
             "keep_features": self.keep_features,
             "model_md5": hashlib.md5(self._model_json.encode()).hexdigest(),
             "tfidf": tfidf_meta,
+            # plan-hash of the optional embedding channel: a changed or
+            # newly-supplied vector table must invalidate scored_pairs
+            "embeddings": embeddings.semanticHash() if embeddings is not None else None,
         }
-        scored = self._stage(
-            "scored_pairs",
-            lambda: score_pairs(
-                pairs.repartition(n_part),
+
+        def _score_stage():
+            p = pairs.repartition(n_part)
+            if embeddings is not None:
+                from name_matching_spark.operators.similarity_search import (
+                    embedding_candidates,
+                )
+
+                e = embeddings.select(
+                    F.col("name"), F.col("embedding").alias("_v")
+                )
+                dim_row = embeddings.select(
+                    F.size("embedding").alias("d")
+                ).first()
+                # Zero-lexical-overlap aliases never co-block on strings:
+                # the semantic channel contributes its own LSH candidates.
+                sem = embedding_candidates(
+                    embeddings, dim=int(dim_row["d"]) if dim_row else 32
+                )
+                p = p.unionByName(sem).dropDuplicates(["name_x", "name_y"])
+                p = (
+                    p.join(
+                        e.withColumnRenamed("name", "name_x").withColumnRenamed(
+                            "_v", "emb_x"
+                        ),
+                        "name_x",
+                        "left",
+                    ).join(
+                        e.withColumnRenamed("name", "name_y").withColumnRenamed(
+                            "_v", "emb_y"
+                        ),
+                        "name_y",
+                        "left",
+                    )
+                )
+            scored = score_pairs(
+                p,
                 self._model_json,
                 tfidf_json,
                 threshold=self.threshold,
                 keep_features=self.keep_features,
-            ),
+            )
+            # vectors themselves never persist into the checkpoint — only
+            # their cosine and the decision they influenced
+            return scored.drop("emb_x", "emb_y")
+
+        scored = self._stage(
+            "scored_pairs",
+            _score_stage,
             inputs=["candidate_pairs", "tfidf"],
             params=score_params,
         )
@@ -264,12 +334,40 @@ class EntityResolutionPipeline:
         elif self.refine_max_component is not None:
 
             def cluster_fn():
+                # cosine_sim / align_edit / token_weakest_link ride along
+                # for the evidence rung and subsumption split (score_pairs
+                # always emits them, keep_features or not).  An
+                # embedding-verified edge (semantic channel) counts as
+                # near-exact evidence: without this the evidence rung would
+                # cut exactly the zero-lexical-overlap matches the channel
+                # exists to keep.
+                align = F.col("align_edit")
+                if "emb_cosine" in matches.columns:
+                    align = F.when(
+                        F.coalesce(F.col("emb_cosine"), F.lit(-1.0)) >= 0.95,
+                        F.lit(0.0),
+                    ).otherwise(align)
+                m = matches.select(
+                    F.col("name_x").alias("src"),
+                    F.col("name_y").alias("dst"),
+                    "probability",
+                    "cosine_sim",
+                    align.alias("align_edit"),
+                    "token_weakest_link",
+                )
+                if self.subsume_attach:
+                    # Subsumption edges (initial/diminutive/prefix-
+                    # extension forms) are pair-level matches but ambiguous
+                    # CLUSTER evidence: they attach to a cluster, never
+                    # glue two (isolated all-subsumption families still
+                    # cluster among themselves under the same cap).
+                    return subsumption_aware_components(
+                        m,
+                        max_component=self.refine_max_component,
+                        ladder=self.refine_ladder,
+                    )
                 return refined_components(
-                    matches.select(
-                        F.col("name_x").alias("src"),
-                        F.col("name_y").alias("dst"),
-                        "probability",
-                    ),
+                    m,
                     max_component=self.refine_max_component,
                     ladder=self.refine_ladder,
                 )
@@ -289,6 +387,8 @@ class EntityResolutionPipeline:
             "refine_max_component": self.refine_max_component,
             "refine_ladder": list(self.refine_ladder),
             "refine_final_louvain": True,
+            "refine_evidence_rung": f"cos{EVIDENCE_MIN_COSINE}|align{EVIDENCE_MAX_ALIGN}",
+            "refine_subsumption_attach": self.subsume_attach,
         }
         components = self._stage(
             "components",

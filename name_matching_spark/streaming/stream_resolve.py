@@ -180,15 +180,30 @@ class EntityTokenIndex:
     ):
         et = (
             entities.select("entity_key", F.col("resolved_name").alias("cand"))
+            .dropDuplicates(["entity_key"])
             .withColumn("tok", F.explode(F.split(F.col("cand"), " ")))
             .where(F.length("tok") >= min_token_len)
         )
         self.index = et.localCheckpoint()  # eager: explode runs here, once
         self.n_rows = self.index.count()  # cheap over the checkpointed RDD
         self.broadcastable = self.n_rows <= broadcast_max_rows
+        # Known-member lookup: the entity table is per NAME, so a stream
+        # name already clustered by the batch pipeline resolves by EXACT
+        # join — scoring it against the cluster's canonical form would
+        # re-litigate (and sometimes lose) a decision the batch already made.
+        member_col = "name" if "name" in entities.columns else "resolved_name"
+        self.members = (
+            entities.select(F.col(member_col).alias("name"), "entity_key")
+            .dropDuplicates(["name"])
+            .localCheckpoint()
+        )
+        self._members_bc = self.members.count() <= broadcast_max_rows
 
     def join_side(self) -> DataFrame:
         return F.broadcast(self.index) if self.broadcastable else self.index
+
+    def members_side(self) -> DataFrame:
+        return F.broadcast(self.members) if self._members_bc else self.members
 
 
 def assign_stream_batch(
@@ -207,6 +222,13 @@ def assign_stream_batch(
     so the entity-side explode is NOT recomputed every micro-batch."""
     idx = entities if isinstance(entities, EntityTokenIndex) else EntityTokenIndex(entities)
     nn = new_names.select("conv_id", "name").dropDuplicates(["name", "conv_id"])
+    # Exact-member fast path: names the batch pipeline has already
+    # clustered adopt their entity directly (broadcast hash join) — only
+    # genuinely NEW surface forms pay the token-block + scorer path.
+    exact = nn.join(
+        idx.members_side().withColumnRenamed("entity_key", "_ek"), "name"
+    )
+    nn = nn.join(exact.select("conv_id", "name"), ["conv_id", "name"], "left_anti")
     nt = nn.select(
         "conv_id", "name", F.explode(F.split("name", " ")).alias("tok")
     ).where(F.length("tok") >= 2)
@@ -236,9 +258,17 @@ def assign_stream_batch(
             ).alias("entity_key")
         )
     )
-    return nn.join(best, ["conv_id", "name"], "left").withColumn(
-        "status",
-        F.when(F.col("entity_key").isNotNull(), F.lit("assigned")).otherwise(
-            F.lit("pending")
-        ),
+    return (
+        nn.join(best, ["conv_id", "name"], "left")
+        .unionByName(
+            exact.select(
+                "conv_id", "name", F.col("_ek").alias("entity_key")
+            )
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("entity_key").isNotNull(), F.lit("assigned")).otherwise(
+                F.lit("pending")
+            ),
+        )
     )

@@ -198,3 +198,64 @@ def test_refined_components_oversized_web_kept_not_raised(spark):
     # 435 internal edges > gate 100: the web is kept intact under "W00"
     assert fast == dist
     assert set(fast.values()) == {"W00"} and len(fast) == 30
+
+
+def test_subsumption_aware_driver_matches_distributed(spark):
+    """subsumption_aware_components: the driver fast path (split + refine
+    + attach rounds + residual) must label identically to the distributed
+    composition on a graph mixing glue cliques, subsumption hubs whose
+    best partners differ, chained subsumed forms, and an isolated
+    all-subsumption family."""
+    import random
+
+    from name_matching_spark.operators.clustering import (
+        subsumption_aware_components,
+    )
+
+    rng = random.Random(23)
+    rows = []
+
+    def glue(a, b, p):
+        rows.append((a, b, p, 0.5, 0.0, 0.9))  # align 0 -> glue
+
+    def sub(a, b, p):
+        rows.append((a, b, p, 0.0, 4.0, 1.0))  # twl 1, align 4 -> subsume
+
+    # two glue cliques
+    A = [f"A{i}" for i in range(5)]
+    B = [f"B{i}" for i in range(5)]
+    for grp in (A, B):
+        for i in range(len(grp)):
+            for j in range(i + 1, len(grp)):
+                glue(grp[i], grp[j], 0.96 + 0.04 * rng.random())
+    # hub: subsumption edges into BOTH cliques (must attach, never weld)
+    sub("HUB", A[0], 0.99)
+    sub("HUB", B[0], 0.98)
+    # chain: C2 -> C1 -> A2 (rounds must resolve the chain)
+    sub("C1", A[2], 0.97)
+    sub("C2", "C1", 0.96)
+    # isolated all-subsumption family (no glue partner anywhere)
+    sub("ISO1", "ISO2", 0.95)
+    sub("ISO2", "ISO3", 0.94)
+    m = spark.createDataFrame(
+        rows,
+        "src string, dst string, probability double, cosine_sim double, "
+        "align_edit double, token_weakest_link double",
+    )
+    kw = dict(max_component=12, ladder=(0.90, 0.95))
+    fast = {
+        r["name"]: r["component"]
+        for r in subsumption_aware_components(m, **kw).collect()
+    }
+    dist = {
+        r["name"]: r["component"]
+        for r in subsumption_aware_components(m, driver_max_edges=0, **kw).collect()
+    }
+    assert fast == dist
+    # hub attached to exactly one clique (its higher-prob partner's)
+    assert fast["HUB"] == fast[A[0]]
+    assert fast[A[0]] != fast[B[0]]
+    # chain resolved into A's cluster
+    assert fast["C2"] == fast["C1"] == fast[A[2]]
+    # isolated family clustered together, not singletons
+    assert fast["ISO1"] == fast["ISO2"] == fast["ISO3"]

@@ -85,6 +85,26 @@ def test_simhash_hamming(docs):
     assert ham_near < ham_far
 
 
+def test_simhash_auto_width_rule(docs):
+    """The measured width/cap discipline (BENCH/SF10.md) as code: 32 bits
+    to the 50k saturation boundary, +16/decade rounded to the next 8,
+    capped at 64; corpus_size_hint applies it and switches the star cap
+    on past the boundary without changing results at fixture scale."""
+    assert dd.simhash_auto_bits(1_000) == 32
+    assert dd.simhash_auto_bits(50_000) == 32  # boundary: still 32
+    assert dd.simhash_auto_bits(50_001) == 40  # past it: only ever errs WIDE
+    assert dd.simhash_auto_bits(158_000) == 40
+    assert dd.simhash_auto_bits(500_000) == 48
+    assert dd.simhash_auto_bits(5_000_000) == 64
+    assert dd.simhash_auto_bits(10**9) == 64  # capped: one long
+    # hint never LOWERS an explicit width; results match the explicit call
+    hinted = dd.simhash_pairs(docs, corpus_size_hint=500_000)
+    explicit = dd.simhash_pairs(docs, bits=48, max_bucket=200)
+    got_h = {(r["key_x"], r["key_y"]) for r in hinted.collect()}
+    got_e = {(r["key_x"], r["key_y"]) for r in explicit.collect()}
+    assert got_h == got_e
+
+
 def test_ngram_jaccard_pairs(spark, docs):
     pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], ["key_x", "key_y"])
     out = {(r["key_x"], r["key_y"]): r["jaccard"] for r in dd.ngram_jaccard_pairs(pairs, docs).collect()}

@@ -267,3 +267,84 @@ def test_clustering_change_invalidates_downstream(spark, tmp_path):
         json.load(open(p2.ckpt.manifest_path("scored_pairs")))["run_id"]
         != p2.ckpt.run_id
     )
+
+
+def test_embedding_channel_scorer_or_rule(spark):
+    """Pre-computed embedding channel (the reference's F7 sentence-vector
+    slot, build_features.py:89-116): a zero-lexical-overlap alias pair
+    whose vectors agree crosses the decision threshold via the native
+    cosine OR-rule; without the columns the output is unchanged."""
+    model, tfidf = load_artifacts()
+    va = [1.0, 0.0, 0.5]
+    vb = [0.99, 0.01, 0.52]          # cosine(va, vb) ~ 0.9996
+    vc = [-0.2, 1.0, -0.6]           # far from va
+    rows = [
+        ("IBM", "INTERNATIONAL BUSINESS MACHINES", va, vb),
+        ("IBM", "APEX LOGISTICS", va, vc),
+        ("IBM", "NO VECTOR CORP", va, None),
+    ]
+    pairs = spark.createDataFrame(
+        rows, "name_x string, name_y string, emb_x array<double>, emb_y array<double>"
+    )
+    scored = {
+        (r["name_x"], r["name_y"]): (r["prediction"], r["emb_cosine"])
+        for r in score_pairs(pairs, model.to_json(), tfidf.to_json()).collect()
+    }
+    pred, cos = scored[("IBM", "INTERNATIONAL BUSINESS MACHINES")]
+    assert pred == 1 and cos > 0.99
+    assert scored[("IBM", "APEX LOGISTICS")][0] == 0
+    assert scored[("IBM", "NO VECTOR CORP")][0] == 0  # NULL vec: string path
+    # without the columns: byte-identical legacy behavior, no emb_cosine
+    plain = score_pairs(
+        pairs.select("name_x", "name_y"), model.to_json(), tfidf.to_json()
+    )
+    assert "emb_cosine" not in plain.columns
+    assert all(r["prediction"] == 0 for r in plain.collect())
+
+
+@pytest.mark.slow
+def test_embedding_channel_end_to_end(spark, tmp_path):
+    """Pipeline accepts an optional (name, embedding) table: semantic LSH
+    candidates + the scorer OR-rule resolve two zero-overlap aliases into
+    ONE entity; the same run without embeddings keeps them apart."""
+    import datetime
+
+    def conv(cid, alias, t0):
+        return [
+            (cid, 0, "user", f"I NEED HELP WITH A PAYMENT INVOLVING {alias}. OK", "", t0),
+            (cid, 1, "tool", f'lookup_customer(name="{alias}") -> status=OK', "lookup_customer", t0),
+        ]
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = conv("c1", "IBM", t0) + conv("c2", "INTERNATIONAL BUSINESS MACHINES", t0) + conv(
+        "c3", "APEX LOGISTICS", t0
+    )
+    transcripts = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    dim = 8
+    base = [1.0, 0.2, -0.3, 0.7, 0.0, 0.5, -0.1, 0.9]
+    other = [-0.6, 1.0, 0.4, -0.2, 0.8, -0.5, 0.3, 0.1]
+    emb = spark.createDataFrame(
+        [
+            ("IBM", base),
+            ("INTERNATIONAL BUSINESS MACHINES", [v + 0.01 for v in base]),
+            ("APEX LOGISTICS", other),
+        ],
+        "name string, embedding array<double>",
+    )
+    with_emb = EntityResolutionPipeline(spark, str(tmp_path / "wh_e")).run(
+        transcripts, embeddings=emb
+    )
+    keys = {
+        r["conv_id"]: r["name_entity_key"]
+        for r in with_emb["resolved_conversations"].collect()
+    }
+    assert keys["c1"] == keys["c2"], "semantic aliases must co-resolve"
+    assert keys["c1"] != keys["c3"]
+    without = EntityResolutionPipeline(spark, str(tmp_path / "wh_p")).run(transcripts)
+    keys0 = {
+        r["conv_id"]: r["name_entity_key"]
+        for r in without["resolved_conversations"].collect()
+    }
+    assert keys0["c1"] != keys0["c2"]

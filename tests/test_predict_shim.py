@@ -38,6 +38,10 @@ def test_feature_values_in_valid_range(predictor):
             assert 0 <= value <= 100
         elif name == "len_diff":
             assert value >= 0
+        elif name == "align_edit":
+            assert 0 <= value <= 10  # capped absolute edit count
+        elif name == "token_sub_excess":
+            assert 0 <= value <= 5  # capped per-token excess-edit count
         else:
             assert 0.0 <= value <= 1.0
 

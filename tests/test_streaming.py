@@ -176,3 +176,86 @@ def test_stateful_turn_collapse_matches_batch(spark, tmp_path):
     # state genuinely crossed micro-batches: some conversation was
     # snapshotted more than once with growing n_turns
     assert len(rows) > len(got)
+
+
+@pytest.mark.slow
+def test_stream_vs_batch_agreement_10k(spark, tmp_path):
+    """End-to-end lambda split at bench scale: batch pipeline resolves the
+    10k-entity fixture; the SAME transcripts then replay as a stream in
+    >= 3 micro-batches with turns shuffled out of order inside each
+    chunk, and every conversation's streamed assignment must agree with
+    the batch assignment for >= 0.99 of conversations (exact-member fast
+    path + scored fallback, streaming canonicalization included)."""
+    import tempfile
+
+    from name_matching_spark.pipeline import EntityResolutionPipeline
+    from name_matching_spark.streaming.stream_resolve import EntityTokenIndex
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fixture = os.path.join(REPO, "data", "bench_transcripts_e10000")
+    if os.path.exists(fixture):
+        transcripts = spark.read.parquet(
+            os.path.join(fixture, "transcripts.parquet")
+        )
+    else:  # fallback: generate a smaller one on the fly
+        fx = str(tmp_path / "fx10k")
+        write_fixture(fx, n_entities=1000, convs_per_entity=3, seed=77)
+        transcripts = spark.read.parquet(os.path.join(fx, "transcripts.parquet"))
+    wh = tempfile.mkdtemp(prefix="nms_stream10k_")
+    stages = EntityResolutionPipeline(spark, wh).run(transcripts)
+    batch_keys = {
+        r["conv_id"]: r["name_entity_key"]
+        for r in stages["resolved_conversations"]
+        .select("conv_id", "name_entity_key")
+        .collect()
+    }
+    idx = EntityTokenIndex(stages["entities"])
+    model, tfidf = load_artifacts()
+
+    # 3 arrival chunks by conversation start time (watermark-friendly),
+    # turns SHUFFLED within each chunk (out-of-order arrival)
+    multi = str(tmp_path / "chunks")
+    conv_t0 = transcripts.groupBy("conv_id").agg(F.min("ts").alias("t0"))
+    tiles = conv_t0.withColumn(
+        "chunk", F.ntile(3).over(__import__("pyspark").sql.Window.orderBy("t0"))
+    )
+    src = transcripts.join(tiles.select("conv_id", "chunk"), "conv_id")
+    for c in (1, 2, 3):
+        (
+            src.where(F.col("chunk") == c)
+            .drop("chunk")
+            .orderBy(F.rand(41 + c))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(multi)
+        )
+    stream = (
+        spark.readStream.schema(transcripts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi)
+    )
+    names = stream_canonical_names(stream, watermark="10 minutes")
+    got: dict = {}
+    n_batches = [0]
+
+    def sink(batch_df, _bid):
+        n_batches[0] += 1
+        out = assign_stream_batch(batch_df, idx, model.to_json(), tfidf.to_json())
+        for r in out.where(F.col("status") == "assigned").collect():
+            got[r["conv_id"]] = r["entity_key"]
+
+    q = (
+        names.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt10k"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    assert n_batches[0] >= 3, f"only {n_batches[0]} micro-batches ran"
+    compared = [c for c in got if batch_keys.get(c) is not None]
+    assert len(compared) >= 0.9 * len(batch_keys), (
+        f"stream resolved only {len(compared)}/{len(batch_keys)} conversations"
+    )
+    agree = sum(got[c] == batch_keys[c] for c in compared)
+    rate = agree / max(len(compared), 1)
+    assert rate >= 0.99, f"stream-vs-batch agreement {rate:.4f}"
