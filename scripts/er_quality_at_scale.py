@@ -15,6 +15,9 @@ the truth-x-resolved contingency counts (no pair materialization):
 
 Usage: python scripts/er_quality_at_scale.py [n_entities ...]
 (defaults: 10000 100000)
+Env: SPARK_GRAFT_TFIDF_MODE=hashed to run the hashing-trick TF-IDF
+pipeline variant instead of the adaptive vocabulary (A/B for
+BENCH/QUALITY.md).
 """
 
 from __future__ import annotations
@@ -86,8 +89,9 @@ def main() -> None:
             continue
         transcripts = spark.read.parquet(os.path.join(fixture, "transcripts.parquet"))
         wh = tempfile.mkdtemp(prefix="nms_quality_")
+        mode = os.environ.get("SPARK_GRAFT_TFIDF_MODE", "adaptive")
         try:
-            pipe = EntityResolutionPipeline(spark, wh)
+            pipe = EntityResolutionPipeline(spark, wh, tfidf_mode=mode)
             stages = pipe.run(transcripts)
             m = pair_f1(
                 spark,
@@ -95,6 +99,7 @@ def main() -> None:
                 os.path.join(fixture, "truth.parquet"),
             )
             m["n_entities_in"] = n
+            m["tfidf_mode"] = mode
             print(json.dumps(m), flush=True)
         finally:
             shutil.rmtree(wh, ignore_errors=True)
