@@ -58,7 +58,7 @@ class EntityResolutionPipeline:
         run_id: str | None = None,
         keep_features: bool = False,
         clustering: str = "cc",
-        refine_max_component: int | None = 6,
+        refine_max_component: int | None = 5,
         refine_ladder: tuple[float, ...] = (0.92, 0.96, 0.99, 0.995, 0.999),
         tfidf_mode: str = "adaptive",
         tfidf_n_buckets: int = 1 << 20,
@@ -76,11 +76,12 @@ class EntityResolutionPipeline:
         # on their internal edges up the threshold ladder (clustering.py:
         # refined_components) — the guard against transitive mega-merges at
         # corpus scale.  None disables (pure CC at the base threshold).
-        # Defaults from the measured 10k-entity sweep
-        # (scripts/cluster_knob_sweep.py, BENCH/QUALITY.md): 6 ~ the alias
-        # fan-out of one entity, so anything larger faces the ladder; the
-        # 0.995/0.999 rungs exploit the scorer's near-1.0 calibration on
-        # true alias pairs (TP median prob 1.000 vs FP 0.951).
+        # Defaults from the measured 10k+100k sweeps
+        # (scripts/cluster_knob_sweep.py, BENCH/QUALITY.md): 5 ~ the alias
+        # fan-out of one entity, so anything larger faces the ladder (cap 5
+        # Pareto-beats 6 at both scales; 4 wins 10k but regresses 100k
+        # precision); the 0.995/0.999 rungs exploit the scorer's near-1.0
+        # calibration on true alias pairs (TP median prob 1.000 vs FP 0.951).
         self.refine_max_component = refine_max_component
         self.refine_ladder = tuple(refine_ladder)
         # "adaptive": corpus-adaptive vocabulary (every term, 1M ceiling).

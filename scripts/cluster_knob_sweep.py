@@ -62,13 +62,11 @@ def main() -> None:
         )
         grid = [
             {"max_component": 6, "ladder": (0.92, 0.96, 0.99, 0.995, 0.999),
-             "subsume": False},
-            {"max_component": 6, "ladder": (0.92, 0.96, 0.99, 0.995, 0.999),
-             "subsume": True},  # shipped default
-            {"max_component": 8, "ladder": (0.92, 0.96, 0.99, 0.995, 0.999),
              "subsume": True},
-            {"max_component": 16, "ladder": (0.92, 0.96, 0.99, 0.995, 0.999),
-             "subsume": True},
+            {"max_component": 5, "ladder": (0.92, 0.96, 0.99, 0.995, 0.999),
+             "subsume": True},  # shipped default (Pareto at 10k+100k)
+            {"max_component": 4, "ladder": (0.92, 0.96, 0.99, 0.995, 0.999),
+             "subsume": True},  # wins 10k, regresses 100k precision
         ]
         for knobs in grid:
             kw = {k: v for k, v in knobs.items() if k != "subsume"}
