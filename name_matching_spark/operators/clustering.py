@@ -216,6 +216,7 @@ def _refine_driver(
     final_louvain: bool,
     louvain_max_edges: int = 1_000_000,
     evidence: tuple[float, float] | None = None,
+    evidence_min_size: int | None = None,
 ) -> dict:
     """Driver-side twin of the distributed refinement: identical labels
     (min-name CC, same ladder semantics, same Louvain with the subgraph's
@@ -228,15 +229,23 @@ def _refine_driver(
         # the module's one union-find (min-label, path compression)
         return dict(_driver_union_find(pairs))
 
-    def split_big(comps: dict, keep) -> dict:
+    def split_big(comps: dict, keep, bound: int | None = None) -> dict:
+        bound = max_component if bound is None else bound
         sizes = Counter(comps.values())
-        big = {lab for lab, c in sizes.items() if c > max_component}
+        big = {lab for lab, c in sizes.items() if c > bound}
         if not big:
             return comps
         bign = {n for n, lab in comps.items() if lab in big}
+        # INTERNAL edges only (comps[a] == comps[b]): a rung may only
+        # SPLIT a component, never re-merge two.  Membership in the union
+        # of big components is not enough — after earlier splits, sibling
+        # components can still share cross edges that pass THIS rung's
+        # keep (the evidence keep is not a subset of any probability
+        # rung), and including them re-welds what the ladder separated.
         strong = [
             (a, b) for a, b, p, c, al in rows
-            if a in bign and b in bign and keep(p, c, al)
+            if a in bign and b in bign and comps[a] == comps[b]
+            and keep(p, c, al)
         ]
         sub = cc_local(strong)
         return {
@@ -255,6 +264,7 @@ def _refine_driver(
             comps,
             lambda p, c, al: (c is not None and c >= cmin)
             or (al is not None and al <= amax),
+            bound=evidence_min_size,
         )
     if final_louvain:
         sizes = Counter(comps.values())
@@ -438,6 +448,7 @@ def subsumption_aware_components(
             evidence_max_align=refine_kw.get(
                 "evidence_max_align", EVIDENCE_MAX_ALIGN
             ),
+            evidence_min_size=refine_kw.get("evidence_min_size"),
             attach_rounds=attach_rounds,
         )
         from pyspark.sql.types import StructField, StructType
@@ -484,6 +495,7 @@ def _subsumption_aware_driver(
     evidence_min_cosine: float,
     evidence_max_align: float,
     attach_rounds: int,
+    evidence_min_size: int | None = None,
 ) -> dict:
     """Driver twin of the distributed composition.  ``rows``:
     (src, dst, p, cosine, align, twl) tuples, self-loops pre-dropped."""
@@ -502,6 +514,7 @@ def _subsumption_aware_driver(
         evidence=(evidence_min_cosine, evidence_max_align)
         if evidence_rung
         else None,
+        evidence_min_size=evidence_min_size,
     )
     # attach rounds: best clustered partner by (max prob, min component)
     adj: dict = defaultdict(list)
@@ -543,6 +556,7 @@ def _subsumption_aware_driver(
                 evidence=(evidence_min_cosine, evidence_max_align)
                 if evidence_rung
                 else None,
+                evidence_min_size=evidence_min_size,
             )
         )
     return comp
@@ -569,6 +583,7 @@ def refined_components(
     evidence_rung: bool = True,
     evidence_min_cosine: float = EVIDENCE_MIN_COSINE,
     evidence_max_align: float = EVIDENCE_MAX_ALIGN,
+    evidence_min_size: int | None = None,
 ) -> DataFrame:
     """Connected components with per-component threshold refinement — the
     scale guard against transitive snowballing.
@@ -597,7 +612,12 @@ def refined_components(
        GBM emits 1.0000 for thousands of cross-entity pairs), so inside
        still-oversized components an edge survives only with distinctive
        shared evidence — an IDF-weighted shared token (cosine) or a
-       near-exact string relation (align_edit <= 1);
+       near-exact string relation (align_edit <= 1).  ``evidence_min_size``
+       (default None = ``max_component``) lowers the size at which THIS
+       rung applies: the measured FP mass at fixture scale sits in
+       SMALL mixed clusters (3-5 names) glued by evidence-free
+       0.95-0.99 edges that never face the ladder — see
+       BENCH/QUALITY.md;
     4. components STILL over the cap after the top rung are dense webs of
        genuinely-confusable high-probability aliases (shared surnames,
        initial forms, org cores differing only in designators) — exactly
@@ -680,6 +700,7 @@ def refined_components(
             evidence=(evidence_min_cosine, evidence_max_align)
             if has_evidence
             else None,
+            evidence_min_size=evidence_min_size,
         )
         spark = matches.sparkSession
         node_t = m.schema["src"].dataType
@@ -691,21 +712,41 @@ def refined_components(
         return spark.createDataFrame(sorted(labels.items()), schema)
     comp = connected_components(edges)
 
-    def _split_big(comp: DataFrame, cond) -> tuple[DataFrame, bool]:
+    def _split_big(
+        comp: DataFrame, cond, bound: int | None = None
+    ) -> tuple[DataFrame, bool]:
         """One refinement rung: re-run CC inside oversized components on
         the internal edges satisfying ``cond``; isolated members become
         singletons.  Returns (new comp, whether any component was big)."""
+        bound = max_component if bound is None else bound
         sizes = comp.groupBy("component").agg(F.count("*").alias("n"))
-        big = sizes.where(F.col("n") > max_component).select("component")
+        big = sizes.where(F.col("n") > bound).select("component")
         if big.limit(1).count() == 0:
             return comp, False
         big_names = _ckpt(comp.join(big, "component", "left_semi"))
-        bn = big_names.select("name")
+        # INTERNAL edges only (same current component on both sides): a
+        # rung may only SPLIT a component, never re-merge two — sibling
+        # components produced by earlier splits can still share cross
+        # edges that pass THIS rung's cond (the evidence cond is not a
+        # subset of any probability rung), and including them re-welds
+        # what the ladder separated.
         strong = (
             matches.where(cond)
             .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-            .join(bn.withColumnRenamed("name", "src"), "src", "left_semi")
-            .join(bn.withColumnRenamed("name", "dst"), "dst", "left_semi")
+            .join(
+                big_names.select(
+                    F.col("name").alias("src"), F.col("component").alias("_cs")
+                ),
+                "src",
+            )
+            .join(
+                big_names.select(
+                    F.col("name").alias("dst"), F.col("component").alias("_cd")
+                ),
+                "dst",
+            )
+            .where(F.col("_cs") == F.col("_cd"))
+            .select("src", "dst")
         )
         sub = connected_components(strong)
         singles = (
@@ -740,6 +781,7 @@ def refined_components(
             comp,
             (F.col("cosine_sim") >= F.lit(evidence_min_cosine))
             | (F.col("align_edit") <= F.lit(evidence_max_align)),
+            bound=evidence_min_size,
         )
     if final_louvain:
         sizes = comp.groupBy("component").agg(F.count("*").alias("n"))

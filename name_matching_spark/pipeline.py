@@ -60,6 +60,7 @@ class EntityResolutionPipeline:
         clustering: str = "cc",
         refine_max_component: int | None = 5,
         refine_ladder: tuple[float, ...] = (0.92, 0.96, 0.99, 0.995, 0.999),
+        refine_evidence_min_size: int | None = 2,
         tfidf_mode: str = "adaptive",
         tfidf_n_buckets: int = 1 << 20,
         subsume_attach: bool = True,
@@ -84,6 +85,15 @@ class EntityResolutionPipeline:
         # calibration on true alias pairs (TP median prob 1.000 vs FP 0.951).
         self.refine_max_component = refine_max_component
         self.refine_ladder = tuple(refine_ladder)
+        # Size at which the EVIDENCE rung applies (None = the ladder cap;
+        # default 2 = every multi-name component).  The measured FP mass at
+        # fixture scale sits in SMALL mixed clusters (3-5 names) glued by
+        # evidence-free 0.95-0.99 edges the ladder never sees; pruning any
+        # glue edge that carries neither a shared informative token nor a
+        # near-exact string relation is the best measured precision/recall
+        # trade at BOTH quality scales (10k F1 0.793 -> 0.826, 100k
+        # 0.704 -> 0.736 — BENCH/QUALITY.md sweep).
+        self.refine_evidence_min_size = refine_evidence_min_size
         # "adaptive": corpus-adaptive vocabulary (every term, 1M ceiling).
         # "hashed": hashing-trick TF-IDF — O(n_buckets) memory regardless
         # of corpus term diversity; the fit for corpora past the ceiling.
@@ -366,11 +376,13 @@ class EntityResolutionPipeline:
                         m,
                         max_component=self.refine_max_component,
                         ladder=self.refine_ladder,
+                        evidence_min_size=self.refine_evidence_min_size,
                     )
                 return refined_components(
                     m,
                     max_component=self.refine_max_component,
                     ladder=self.refine_ladder,
+                    evidence_min_size=self.refine_evidence_min_size,
                 )
 
         else:
@@ -389,6 +401,7 @@ class EntityResolutionPipeline:
             "refine_ladder": list(self.refine_ladder),
             "refine_final_louvain": True,
             "refine_evidence_rung": f"cos{EVIDENCE_MIN_COSINE}|align{EVIDENCE_MAX_ALIGN}",
+            "refine_evidence_min_size": self.refine_evidence_min_size,
             "refine_subsumption_attach": self.subsume_attach,
         }
         components = self._stage(

@@ -60,13 +60,18 @@ def main() -> None:
             )
             .localCheckpoint()
         )
+        _L = (0.92, 0.96, 0.99, 0.995, 0.999)
         grid = [
-            {"max_component": 6, "ladder": (0.92, 0.96, 0.99, 0.995, 0.999),
-             "subsume": True},
-            {"max_component": 5, "ladder": (0.92, 0.96, 0.99, 0.995, 0.999),
-             "subsume": True},  # shipped default (Pareto at 10k+100k)
-            {"max_component": 4, "ladder": (0.92, 0.96, 0.99, 0.995, 0.999),
-             "subsume": True},  # wins 10k, regresses 100k precision
+            {"max_component": 5, "ladder": _L, "subsume": True},
+            # evidence rung extended below the ladder cap: the measured FP
+            # mass sits in small mixed clusters (3-5 names) glued by
+            # evidence-free 0.95-0.99 edges the ladder never sees
+            {"max_component": 5, "ladder": _L, "subsume": True,
+             "evidence_min_size": 4},
+            {"max_component": 5, "ladder": _L, "subsume": True,
+             "evidence_min_size": 3},
+            {"max_component": 5, "ladder": _L, "subsume": True,
+             "evidence_min_size": 2},  # shipped default (best P and F1 at both scales)
         ]
         for knobs in grid:
             kw = {k: v for k, v in knobs.items() if k != "subsume"}

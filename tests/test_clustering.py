@@ -259,3 +259,46 @@ def test_subsumption_aware_driver_matches_distributed(spark):
     assert fast["C2"] == fast["C1"] == fast[A[2]]
     # isolated family clustered together, not singletons
     assert fast["ISO1"] == fast["ISO2"] == fast["ISO3"]
+
+
+def test_refined_components_evidence_min_size(spark):
+    """``evidence_min_size`` lowers the bound at which the EVIDENCE rung
+    applies: below it (default None = the ladder cap) small mixed
+    clusters glued by evidence-free edges never face any rung.  With the
+    bound at 2, a 3-name component keeps only evidence-carrying edges;
+    2-name components stay untouched; the default leaves all of them to
+    plain CC.  Driver and distributed paths must agree."""
+    from name_matching_spark.operators.clustering import refined_components
+
+    rows = [
+        # A-B: evidence (shared informative token); B-C: evidence-free
+        # high-prob glue (the measured FP shape) -> C splits off at ems=2
+        ("A", "B", 0.97, 0.40, 0.0),
+        ("B", "C", 0.96, 0.00, 5.0),
+        # 2-name evidence-free component: at or below the bound, untouched
+        ("X", "Y", 0.95, 0.00, 4.0),
+    ]
+    m = spark.createDataFrame(
+        rows, ["src", "dst", "probability", "cosine_sim", "align_edit"]
+    )
+    kw = dict(max_component=10, ladder=(0.92,))
+    dflt = {
+        r["name"]: r["component"] for r in refined_components(m, **kw).collect()
+    }
+    # default: every component is under the cap -> plain CC, no rung runs
+    assert dflt["A"] == dflt["B"] == dflt["C"] == "A"
+    assert dflt["X"] == dflt["Y"] == "X"
+    ems = {
+        r["name"]: r["component"]
+        for r in refined_components(m, evidence_min_size=2, **kw).collect()
+    }
+    assert ems["A"] == ems["B"] == "A"
+    assert ems["C"] == "C"  # evidence-free edge pruned -> singleton
+    assert ems["X"] == ems["Y"] == "X"  # size 2 never faces the rung
+    dist = {
+        r["name"]: r["component"]
+        for r in refined_components(
+            m, evidence_min_size=2, driver_max_edges=0, **kw
+        ).collect()
+    }
+    assert dist == ems

@@ -87,7 +87,14 @@ def test_synthetic_fixture_cluster_agreement(spark, tmp_path):
     f1 = 2 * prec * rec / max(prec + rec, 1e-9)
     print(f"cluster agreement: precision={prec:.4f} recall={rec:.4f} F1={f1:.4f}")
     assert f1 >= 0.9, f"cluster pairwise F1 {f1:.4f}"
-    assert rec >= 0.95
+    # The shipped evidence_min_size=2 default prunes glue edges with
+    # neither a shared informative token nor a near-exact relation —
+    # at this 60-entity fixture that costs a few true diminutive links
+    # (recall 0.92, precision 1.0) and buys the measured precision jump
+    # at 10k/100k entities (BENCH/QUALITY.md).  Gate both sides of the
+    # trade so a regression in either direction fails.
+    assert rec >= 0.90
+    assert prec >= 0.99
 
 
 @pytest.mark.slow
