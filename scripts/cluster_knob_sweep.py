@@ -62,16 +62,16 @@ def main() -> None:
         )
         _L = (0.92, 0.96, 0.99, 0.995, 0.999)
         grid = [
-            {"max_component": 5, "ladder": _L, "subsume": True},
-            # evidence rung extended below the ladder cap: the measured FP
-            # mass sits in small mixed clusters (3-5 names) glued by
-            # evidence-free 0.95-0.99 edges the ladder never sees
+            # shipped default (best P and F1 at both scales); the
+            # evidence rung (bound 2) prunes evidence-free glue in every
+            # multi-name component, so also probe whether the ladder cap
+            # can now relax to recover recall
             {"max_component": 5, "ladder": _L, "subsume": True,
-             "evidence_min_size": 4},
-            {"max_component": 5, "ladder": _L, "subsume": True,
-             "evidence_min_size": 3},
-            {"max_component": 5, "ladder": _L, "subsume": True,
-             "evidence_min_size": 2},  # shipped default (best P and F1 at both scales)
+             "evidence_min_size": 2},
+            {"max_component": 8, "ladder": _L, "subsume": True,
+             "evidence_min_size": 2},
+            {"max_component": 12, "ladder": _L, "subsume": True,
+             "evidence_min_size": 2},
         ]
         for knobs in grid:
             kw = {k: v for k, v in knobs.items() if k != "subsume"}
