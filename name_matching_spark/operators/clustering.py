@@ -322,49 +322,95 @@ def attach_subsumed(
     dst: str = "dst",
     prob_col: str = "probability",
     rounds: int = 3,
+    evidence_min_cosine: float | None = None,
+    evidence_max_align: float | None = None,
+    singleton_attach: bool = True,
 ) -> DataFrame:
     """Post-clustering attachment of subsumption-only names.
 
     ``comp``: (name, component) from clustering the GLUE edges only.
-    ``sub_edges``: the subsumption edges excluded from gluing.  A name
-    with no glue-edge cluster (an initial/diminutive form whose every
-    match is subsumption) ATTACHES to the component of its best-scoring
-    clustered partner — highest probability, ties to the smallest
-    component label (deterministic).  Attachment maps names INTO existing
-    components and never links two components, so it cannot re-create the
-    mega-weld it exists to prevent; ``rounds`` passes let chains of
-    subsumed forms ("H KASDRE" whose best partner is the also-subsumed
-    "HELI KASDRE") reach the cluster the chain head attached to.  Names
-    with neither a cluster nor a (transitively) clustered partner stay
-    singletons (the entity-table builder already handles names absent
-    from ``comp``)."""
-    e = (
-        sub_edges.select(
-            F.col(src).alias("name"),
-            F.col(dst).alias("other"),
+    ``sub_edges``: the subsumption edges excluded from gluing.  A name is
+    SETTLED only when its component has at least two members (anchored);
+    the un-anchored subsumption-edge endpoints attach by two rules,
+    matched to how each kind measured at the 10k/100k quality fixtures
+    (BENCH/QUALITY.md):
+
+    * **comp-absent** (an initial/diminutive form whose every match is
+      subsumption): attach to the component of the best-scoring anchored
+      partner — highest probability, ties to the smallest component label.
+    * **glue singletons** (every glue edge pruned by a refinement rung —
+      the name sat inside a confusable web, so its prior of ambiguity is
+      exactly why the rung isolated it): attach ONLY on a UNANIMOUS
+      evidence vote — every evidence-bearing subsumption edge
+      (``cosine_sim`` >= ``evidence_min_cosine`` or ``align_edit`` <=
+      ``evidence_max_align``, when those columns ride on ``sub_edges``)
+      to an anchored partner must point at ONE component.  Best-p attach
+      here crashed 100k pair precision 0.76 -> 0.59 (an ambiguous initial
+      form picks one of many same-surname clusters near-randomly);
+      unanimity keeps the measured 10k recall recovery while leaving
+      genuinely shared forms singleton.
+
+    Targets are anchored names only, so attachment maps names INTO
+    multi-name components and can never weld two components — and two
+    mutual floaters cannot swap singleton labels.  ``rounds`` passes let
+    chains of subsumed forms ("H KASDRE" whose best partner is the
+    also-subsumed "HELI KASDRE") resolve: an attached floater is anchored
+    for the next round.  Floaters with no (transitively) anchored partner
+    are left for the caller (mutual-floater FAMILIES — an entity observed
+    only as full + initial + diminutive forms — cluster among themselves
+    in :func:`subsumption_aware_components`)."""
+    has_cos = "cosine_sim" in sub_edges.columns
+    has_al = "align_edit" in sub_edges.columns
+    null_d = F.lit(None).cast("double")
+    ev_cols = [
+        (F.col("cosine_sim") if has_cos else null_d).alias("c"),
+        (F.col("align_edit") if has_al else null_d).alias("al"),
+    ]
+
+    def _side(a: str, b: str) -> DataFrame:
+        return sub_edges.select(
+            F.col(a).alias("name"),
+            F.col(b).alias("other"),
             F.col(prob_col).alias("p"),
+            *ev_cols,
         )
-        .unionByName(
-            sub_edges.select(
-                F.col(dst).alias("name"),
-                F.col(src).alias("other"),
-                F.col(prob_col).alias("p"),
-            )
-        )
-        .localCheckpoint()
+
+    e = _side(src, dst).unionByName(_side(dst, src)).localCheckpoint()
+    # NULL-safe disjunction (a NULL side never qualifies), byte-matching
+    # the driver twin's `_ev`; with no evidence columns or thresholds at
+    # all the gate is inert (every edge votes).
+    gate_active = (evidence_min_cosine is not None or evidence_max_align is not None) and (
+        has_cos or has_al
     )
+    if gate_active:
+        ev_cond = F.lit(False)
+        if evidence_min_cosine is not None:
+            ev_cond = ev_cond | (F.col("c") >= F.lit(evidence_min_cosine))
+        if evidence_max_align is not None:
+            ev_cond = ev_cond | (F.col("al") <= F.lit(evidence_max_align))
+        ev_cond = F.coalesce(ev_cond, F.lit(False))
+    else:
+        ev_cond = F.lit(True)
     for _ in range(max(rounds, 1)):
-        unclustered = e.select("name").distinct().join(
-            comp.select("name"), "name", "left_anti"
-        )
-        best = (
-            e.join(unclustered, "name", "left_semi")
+        anchored = _anchored(comp)
+        floaters = (
+            e.select("name")
+            .distinct()
+            .join(anchored.select("name"), "name", "left_anti")
             .join(
-                comp.select(
-                    F.col("name").alias("other"), F.col("component").alias("_tc")
-                ),
-                "other",
+                comp.select("name").distinct().withColumn("_sing", F.lit(True)),
+                "name",
+                "left",
             )
+        )
+        cand = e.join(floaters, "name").join(
+            anchored.select(
+                F.col("name").alias("other"), F.col("component").alias("_tc")
+            ),
+            "other",
+        )
+        absent_best = (
+            cand.where(F.col("_sing").isNull())
             .groupBy("name")
             .agg(
                 F.min_by("_tc", F.struct(-F.col("p"), F.col("_tc"))).alias(
@@ -372,14 +418,41 @@ def attach_subsumed(
                 )
             )
         )
+        if singleton_attach:
+            sing_best = (
+                cand.where(F.col("_sing") & ev_cond)
+                .groupBy("name")
+                .agg(
+                    F.count_distinct("_tc").alias("_k"),
+                    F.min("_tc").alias("component"),
+                )
+                .where(F.col("_k") == 1)
+                .select("name", "component")
+            )
+            best = absent_best.unionByName(sing_best)
+        else:
+            best = absent_best
         if best.limit(1).count() == 0:
             break
-        comp = comp.unionByName(best).localCheckpoint()
+        comp = (
+            comp.join(best.select("name"), "name", "left_anti")
+            .unionByName(best)
+            .localCheckpoint()
+        )
     try:
         e.unpersist()
     except Exception:
         pass
     return comp
+
+
+def _anchored(comp: DataFrame) -> DataFrame:
+    """Rows of ``comp`` whose component has >= 2 members — the names whose
+    cluster assignment attachment treats as settled."""
+    sizes = comp.groupBy("component").agg(F.count("*").alias("_n"))
+    return comp.join(
+        sizes.where(F.col("_n") >= 2).select("component"), "component", "left_semi"
+    )
 
 
 def subsumption_aware_components(
@@ -388,6 +461,7 @@ def subsumption_aware_components(
     dst: str = "dst",
     prob_col: str = "probability",
     attach_rounds: int = 3,
+    singleton_attach: bool = True,
     **refine_kw,
 ) -> DataFrame:
     """The full subsumption-aware clustering composition:
@@ -450,6 +524,7 @@ def subsumption_aware_components(
             ),
             evidence_min_size=refine_kw.get("evidence_min_size"),
             attach_rounds=attach_rounds,
+            singleton_attach=singleton_attach,
         )
         from pyspark.sql.types import StructField, StructType
 
@@ -465,16 +540,36 @@ def subsumption_aware_components(
         glue, src=src, dst=dst, prob_col=prob_col, **refine_kw
     )
     comp = attach_subsumed(
-        comp, sub, src=src, dst=dst, prob_col=prob_col, rounds=attach_rounds
+        comp,
+        sub,
+        src=src,
+        dst=dst,
+        prob_col=prob_col,
+        rounds=attach_rounds,
+        evidence_min_cosine=refine_kw.get(
+            "evidence_min_cosine", EVIDENCE_MIN_COSINE
+        ),
+        evidence_max_align=refine_kw.get("evidence_max_align", EVIDENCE_MAX_ALIGN),
+        singleton_attach=singleton_attach,
+    )
+    # Mutual-floater families: subsumption edges both of whose endpoints
+    # stayed un-anchored through every attach round (comp-absent OR glue
+    # singletons) cluster among THEMSELVES under the same refinement
+    # discipline, replacing any singleton labels they held.
+    anames = (
+        _anchored(comp).select("name")
+        if singleton_attach
+        else comp.select("name")
     )
     residual = sub.join(
-        comp.select(F.col("name").alias(src)), src, "left_anti"
-    ).join(comp.select(F.col("name").alias(dst)), dst, "left_anti")
+        anames.withColumnRenamed("name", src), src, "left_anti"
+    ).join(anames.withColumnRenamed("name", dst), dst, "left_anti")
     if residual.limit(1).count() > 0:
-        comp = comp.unionByName(
-            refined_components(
-                residual, src=src, dst=dst, prob_col=prob_col, **refine_kw
-            )
+        rlab = refined_components(
+            residual, src=src, dst=dst, prob_col=prob_col, **refine_kw
+        )
+        comp = comp.join(rlab.select("name"), "name", "left_anti").unionByName(
+            rlab
         )
     return comp
 
@@ -496,6 +591,7 @@ def _subsumption_aware_driver(
     evidence_max_align: float,
     attach_rounds: int,
     evidence_min_size: int | None = None,
+    singleton_attach: bool = True,
 ) -> dict:
     """Driver twin of the distributed composition.  ``rows``:
     (src, dst, p, cosine, align, twl) tuples, self-loops pre-dropped."""
@@ -516,22 +612,46 @@ def _subsumption_aware_driver(
         else None,
         evidence_min_size=evidence_min_size,
     )
-    # attach rounds: best clustered partner by (max prob, min component)
+    # attach rounds (driver twin of attach_subsumed): anchored = member of
+    # a >= 2-name component; comp-absent floaters attach to the best
+    # anchored partner (max prob, min component); rung-pruned glue
+    # singletons attach only on a UNANIMOUS evidence-bearing vote
+    from collections import Counter
+
+    def anchored_names(c: dict) -> set:
+        sz = Counter(c.values())
+        return {n for n, lab in c.items() if sz[lab] >= 2}
+
+    def _ev(c, al) -> bool:
+        return (c is not None and c >= evidence_min_cosine) or (
+            al is not None and al <= evidence_max_align
+        )
+
     adj: dict = defaultdict(list)
-    for a, b, p, _, _ in sub:
-        adj[a].append((p, b))
-        adj[b].append((p, a))
+    for a, b, p, c, al in sub:
+        adj[a].append((p, b, c, al))
+        adj[b].append((p, a, c, al))
     for _ in range(max(attach_rounds, 1)):
+        anc = anchored_names(comp)
         newly = {}
         for n, lst in adj.items():
-            if n in comp:
+            if n in anc:
+                continue
+            if n in comp:  # glue singleton: unanimity over evidence edges
+                if singleton_attach:
+                    tcs = {
+                        comp[o]
+                        for p, o, c, al in lst
+                        if o in anc and _ev(c, al)
+                    }
+                    if len(tcs) == 1:
+                        newly[n] = min(tcs)
                 continue
             best = None
-            for p, o in lst:
-                tc = comp.get(o)
-                if tc is None:
+            for p, o, c, al in lst:
+                if o not in anc:
                     continue
-                key = (-p, tc)
+                key = (-p, comp[o])
                 if best is None or key < best:
                     best = key
             if best is not None:
@@ -539,11 +659,13 @@ def _subsumption_aware_driver(
         if not newly:
             break
         comp.update(newly)
-    # residual all-subsumption families: refine among themselves
+    # mutual-floater families (comp-absent OR rung-pruned glue singletons
+    # on both sides): refine among themselves
+    anc = anchored_names(comp) if singleton_attach else set(comp)
     residual = [
         (a, b, p, c, al)
         for a, b, p, c, al in sub
-        if a not in comp and b not in comp
+        if a not in anc and b not in anc
     ]
     if residual:
         comp.update(

@@ -85,8 +85,9 @@ def main() -> None:
     for n in sizes:
         fixture = os.path.join(REPO, "data", f"bench_transcripts_e{n}")
         if not os.path.exists(os.path.join(fixture, "truth.parquet")):
-            print(f"skip {fixture}: no truth.parquet", file=sys.stderr)
-            continue
+            from name_matching_spark.datagen import write_fixture
+
+            write_fixture(fixture, n_entities=n, convs_per_entity=5, seed=42)
         transcripts = spark.read.parquet(os.path.join(fixture, "transcripts.parquet"))
         wh = tempfile.mkdtemp(prefix="nms_quality_")
         mode = os.environ.get("SPARK_GRAFT_TFIDF_MODE", "adaptive")

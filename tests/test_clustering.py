@@ -302,3 +302,59 @@ def test_refined_components_evidence_min_size(spark):
         ).collect()
     }
     assert dist == ems
+
+
+def test_singleton_reattach_unanimous_evidence(spark):
+    """A name every refinement rung isolated (glue singleton) re-attaches
+    through its subsumption edges ONLY when every evidence-bearing edge to
+    an anchored partner points at one component: unanimity attaches S,
+    ambiguity (U: evidence into two cliques) and evidence-free edges (T)
+    stay singletons.  Driver and distributed paths must agree."""
+    from name_matching_spark.operators.clustering import (
+        subsumption_aware_components,
+    )
+
+    rows = []
+
+    def glue(a, b, p, cos=0.5, al=0.0):
+        rows.append((a, b, p, cos, al, 0.9))
+
+    def sub(a, b, p, cos, al):
+        rows.append((a, b, p, cos, al, 1.0))
+
+    A = [f"A{i}" for i in range(3)]
+    B = [f"B{i}" for i in range(3)]
+    for grp in (A, B):
+        for i in range(len(grp)):
+            for j in range(i + 1, len(grp)):
+                glue(grp[i], grp[j], 0.97)
+    # evidence-free glue web S-T-U: with evidence_min_size=2 the rung
+    # prunes every edge -> three singletons
+    glue("S", "T", 0.96, cos=0.0, al=5.0)
+    glue("T", "U", 0.96, cos=0.0, al=5.0)
+    # S: evidence-bearing sub edges, both into clique A -> unanimous
+    sub("S", A[0], 0.99, 0.4, 2.0)
+    sub("S", A[1], 0.93, 0.4, 2.0)
+    # U: evidence-bearing sub edges into BOTH cliques -> ambiguous
+    sub("U", A[0], 0.99, 0.4, 2.0)
+    sub("U", B[0], 0.98, 0.4, 2.0)
+    # T: only an evidence-free sub edge -> no votes at all
+    sub("T", A[0], 0.99, 0.0, 3.0)
+    m = spark.createDataFrame(
+        rows,
+        "src string, dst string, probability double, cosine_sim double, "
+        "align_edit double, token_weakest_link double",
+    )
+    kw = dict(max_component=12, ladder=(0.90,), evidence_min_size=2)
+    fast = {
+        r["name"]: r["component"]
+        for r in subsumption_aware_components(m, **kw).collect()
+    }
+    dist = {
+        r["name"]: r["component"]
+        for r in subsumption_aware_components(m, driver_max_edges=0, **kw).collect()
+    }
+    assert fast == dist
+    assert fast["S"] == fast["A0"] == fast["A1"] == fast["A2"]
+    assert fast["B0"] == fast["B1"] == fast["B2"] != fast["A0"]
+    assert fast["T"] == "T" and fast["U"] == "U"
