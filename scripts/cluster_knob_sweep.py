@@ -62,15 +62,14 @@ def main() -> None:
         )
         _L = (0.92, 0.96, 0.99, 0.995, 0.999)
         grid = [
-            # shipped default (best P and F1 at both scales); the
-            # evidence rung (bound 2) prunes evidence-free glue in every
-            # multi-name component, so also probe whether the ladder cap
-            # can now relax to recover recall
+            # cap sweep under singleton re-attach (unanimous evidence
+            # votes): attachment now recovers the recall a tighter cap
+            # sheds, so the cap/precision trade needs re-measuring
+            {"max_component": 4, "ladder": _L, "subsume": True,
+             "evidence_min_size": 2},
             {"max_component": 5, "ladder": _L, "subsume": True,
              "evidence_min_size": 2},
-            {"max_component": 8, "ladder": _L, "subsume": True,
-             "evidence_min_size": 2},
-            {"max_component": 12, "ladder": _L, "subsume": True,
+            {"max_component": 6, "ladder": _L, "subsume": True,
              "evidence_min_size": 2},
         ]
         for knobs in grid:
