@@ -691,6 +691,36 @@ def _subsumption_aware_driver(
 EVIDENCE_MIN_COSINE = 0.05
 EVIDENCE_MAX_ALIGN = 1.0
 
+# Anchors for the scale-adaptive ladder cap: the two-fixture knob sweep
+# (scripts/cluster_knob_sweep.py, BENCH/QUALITY.md item 8) under the
+# singleton re-attach measured pair-F1-best caps of 4 at 30,988 distinct
+# names (10k entities) and 6 at 306,572 names (100k entities) — recall
+# is cap-invariant there, so the cap buys precision, and the ambiguity
+# webs that need ladder room before Louvain densify with corpus size.
+AUTO_CAP_ANCHOR_NAMES = 31_000
+AUTO_CAP_ANCHOR = 4
+AUTO_CAP_PER_DECADE = 2.0
+AUTO_CAP_MAX = 8
+
+
+def resolve_auto_cap(n_names: int) -> int:
+    """Scale-adaptive refinement ladder cap from the distinct-name count.
+
+    Log-linear through the two measured sweep optima (cap 4 at ~31k
+    names, cap 6 at ~307k — see AUTO_CAP_* above), floored at the small
+    anchor and ceilinged at 8 (one decade of extrapolation past the
+    largest measured corpus; growth beyond that is asserted, not
+    measured, so it stops).  Used when the pipeline is constructed with
+    ``refine_max_component="auto"``.
+    """
+    import math
+
+    n = max(int(n_names), 1)
+    cap = AUTO_CAP_ANCHOR + AUTO_CAP_PER_DECADE * math.log10(
+        n / AUTO_CAP_ANCHOR_NAMES
+    )
+    return max(AUTO_CAP_ANCHOR, min(AUTO_CAP_MAX, round(cap)))
+
 
 def refined_components(
     matches: DataFrame,

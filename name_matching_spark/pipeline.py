@@ -58,7 +58,7 @@ class EntityResolutionPipeline:
         run_id: str | None = None,
         keep_features: bool = False,
         clustering: str = "cc",
-        refine_max_component: int | None = 5,
+        refine_max_component: int | str | None = 5,
         refine_ladder: tuple[float, ...] = (0.92, 0.96, 0.99, 0.995, 0.999),
         refine_evidence_min_size: int | None = 2,
         tfidf_mode: str = "adaptive",
@@ -83,6 +83,10 @@ class EntityResolutionPipeline:
         # Pareto-beats 6 at both scales; 4 wins 10k but regresses 100k
         # precision); the 0.995/0.999 rungs exploit the scorer's near-1.0
         # calibration on true alias pairs (TP median prob 1.000 vs FP 0.951).
+        # "auto" derives the cap from the corpus's distinct-name count at
+        # run time (clustering.resolve_auto_cap): the sweep optimum moves
+        # 4 -> 6 across the 31k -> 307k-name fixtures, so larger corpora
+        # get more ladder room before Louvain.
         self.refine_max_component = refine_max_component
         self.refine_ladder = tuple(refine_ladder)
         # Size at which the EVIDENCE rung applies (None = the ladder cap;
@@ -332,6 +336,15 @@ class EntityResolutionPipeline:
             params=score_params,
         )
         matches = scored.where(F.col("prediction") == 1)
+        # Resolve the scale-adaptive ladder cap once, against the
+        # checkpointed names table, so the resolved value (not the "auto"
+        # marker) lands in the components-stage fingerprint — a corpus
+        # grown across a cap boundary invalidates the stage on resume.
+        refine_cap = self.refine_max_component
+        if refine_cap == "auto":
+            from name_matching_spark.operators.clustering import resolve_auto_cap
+
+            refine_cap = resolve_auto_cap(names.count())
         if self.clustering == "louvain":
             from name_matching_spark.operators.louvain import louvain_communities
 
@@ -342,7 +355,7 @@ class EntityResolutionPipeline:
                     )
                 )
 
-        elif self.refine_max_component is not None:
+        elif refine_cap is not None:
 
             def cluster_fn():
                 # cosine_sim / align_edit / token_weakest_link ride along
@@ -374,13 +387,13 @@ class EntityResolutionPipeline:
                     # cluster among themselves under the same cap).
                     return subsumption_aware_components(
                         m,
-                        max_component=self.refine_max_component,
+                        max_component=refine_cap,
                         ladder=self.refine_ladder,
                         evidence_min_size=self.refine_evidence_min_size,
                     )
                 return refined_components(
                     m,
-                    max_component=self.refine_max_component,
+                    max_component=refine_cap,
                     ladder=self.refine_ladder,
                     evidence_min_size=self.refine_evidence_min_size,
                 )
@@ -397,7 +410,8 @@ class EntityResolutionPipeline:
         cluster_params = {
             **score_params,
             "clustering": self.clustering,
-            "refine_max_component": self.refine_max_component,
+            "refine_max_component": refine_cap,
+            "refine_cap_mode": "auto" if self.refine_max_component == "auto" else "fixed",
             "refine_ladder": list(self.refine_ladder),
             "refine_final_louvain": True,
             "refine_evidence_rung": f"cos{EVIDENCE_MIN_COSINE}|align{EVIDENCE_MAX_ALIGN}",

@@ -1,5 +1,6 @@
 """Connected components + entity assignment semantics."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from name_matching_spark.operators.clustering import connected_components
@@ -358,3 +359,43 @@ def test_singleton_reattach_unanimous_evidence(spark):
     assert fast["S"] == fast["A0"] == fast["A1"] == fast["A2"]
     assert fast["B0"] == fast["B1"] == fast["B2"] != fast["A0"]
     assert fast["T"] == "T" and fast["U"] == "U"
+
+
+def test_resolve_auto_cap_rule():
+    """Scale-adaptive ladder cap: log-linear through the two sweep optima
+    (cap 4 at ~31k distinct names, cap 6 at ~307k — BENCH/QUALITY.md
+    item 8), floored at 4, ceilinged at 8 one decade past measurement."""
+    from name_matching_spark.operators.clustering import resolve_auto_cap
+
+    assert resolve_auto_cap(30_988) == 4   # 10k-entity fixture anchor
+    assert resolve_auto_cap(306_572) == 6  # 100k-entity fixture anchor
+    assert resolve_auto_cap(98_000) == 5   # geometric midpoint
+    assert resolve_auto_cap(1) == 4        # tiny corpora floor at the anchor
+    assert resolve_auto_cap(10**9) == 8    # extrapolation stops at 8
+    caps = [resolve_auto_cap(n) for n in (10, 10**4, 10**5, 10**6, 10**8)]
+    assert caps == sorted(caps)
+
+
+@pytest.mark.slow
+def test_pipeline_auto_cap_resolves_and_fingerprints(spark, tmp_path):
+    """refine_max_component="auto" resolves to a concrete cap from the
+    names count, and the RESOLVED integer (not the marker) lands in the
+    components-stage manifest so resume invalidates across cap changes."""
+    import json
+    import os
+
+    from name_matching_spark.datagen import write_fixture
+    from name_matching_spark.pipeline import EntityResolutionPipeline
+
+    fixture = str(tmp_path / "fixture")
+    write_fixture(fixture, n_entities=40, convs_per_entity=3, seed=7)
+    wh = str(tmp_path / "warehouse")
+    pipe = EntityResolutionPipeline(spark, wh, refine_max_component="auto")
+    transcripts = spark.read.parquet(os.path.join(fixture, "transcripts.parquet"))
+    stages = pipe.run(transcripts)
+    assert stages["resolved_conversations"].count() > 0
+    with open(pipe.ckpt.manifest_path("components")) as f:
+        params = json.load(f)["params"]
+    # ~100 names at 40 entities -> well under the 31k anchor -> floor cap 4
+    assert params["refine_max_component"] == 4
+    assert params["refine_cap_mode"] == "auto"
