@@ -68,13 +68,28 @@ def main() -> None:
     )
     timings: dict[str, float] = {}
 
+    # --- untimed warm-up lap ---
+    # A cold VM (dropped page cache after memory churn) reads the first
+    # lap up to 3x slow — r4's recorded 111s vs 35s steady-state.  One
+    # full untimed pass (ER pipeline + every operator query) faults the
+    # parquet pages, JIT-compiles the codegen, and imports the Arrow
+    # workers, so the timed min-of-N below measures steady state.
+    fixture = _ensure_fixture(SF)
+    transcripts = spark.read.parquet(os.path.join(fixture, "transcripts.parquet"))
+    qs_warm = entry_mod.queries()
+    wh = tempfile.mkdtemp(prefix="nms_bench_warmup_")
+    try:
+        EntityResolutionPipeline(spark, wh).run(transcripts)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    for name in OPERATOR_QUERIES:
+        qs_warm[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
     # --- ER pipeline (the flagship job) ---
     # min-of-2 like the operator queries below: the sandbox VM
     # intermittently stalls 10-20s on arbitrary work (hypervisor
     # co-tenancy); a single sample can report the stall instead of the
     # pipeline.  Each run gets a fresh warehouse (no checkpoint reuse).
-    fixture = _ensure_fixture(SF)
-    transcripts = spark.read.parquet(os.path.join(fixture, "transcripts.parquet"))
     er_sec = float("inf")
     er_stages: dict[str, float] = {}
     for _ in range(2):

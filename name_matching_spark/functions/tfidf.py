@@ -121,7 +121,9 @@ class TfidfModel:
         extra_corpus: list[str] | None = None,
         max_df: float = 0.9,
         max_features: int | None = 10000,
-    ) -> "TfidfModel":
+        ceiling: int | None = None,
+        overflow_n_buckets: int = 1 << 22,
+    ) -> "TfidfModel | HashedTfidfModel":
         """Fit on a (possibly huge) Spark DataFrame of names plus an optional
         driver-side extra corpus.  The document-frequency / term-frequency
         aggregation runs distributed; only the <= ``max_features`` vocabulary
@@ -140,7 +142,13 @@ class TfidfModel:
         documented OOV failure mode, measured as a primary driver of
         cluster over-merge at the 100k-entity scale).  The ceiling bounds
         the driver/broadcast artifact (~tens of MB); a corpus whose term
-        diversity exceeds it needs the hashing-trick variant instead.
+        diversity EXCEEDS the ceiling auto-switches to the hashing-trick
+        fit (``overflow_n_buckets`` buckets, returns a
+        :class:`HashedTfidfModel`) — truncating the adaptive vocabulary
+        would silently reintroduce the rare-core OOV collapse the adaptive
+        mode exists to prevent, and the hashed fit is A/B-proven within
+        0.001 F1 of adaptive (BENCH/QUALITY.md).  ``ceiling`` overrides
+        :data:`ADAPTIVE_VOCAB_CEILING` (tests cross the boundary cheaply).
         """
         from pyspark.sql import functions as F
 
@@ -162,6 +170,7 @@ class TfidfModel:
             "doc", F.concat(toks, bigrams).alias("terms")
         )
         n_docs = docs.count()
+        adaptive_cap = ceiling if ceiling is not None else ADAPTIVE_VOCAB_CEILING
         # ONE explode + ONE aggregate: tf = occurrence count, df = distinct
         # containing docs — same values as the explode-twice-and-join shape
         # with half the scans and no join.
@@ -174,24 +183,33 @@ class TfidfModel:
             )
             .where(F.col("df") <= max_df * n_docs)
             .orderBy(F.desc("tf"), F.asc("term"))
-            .limit((max_features if max_features is not None else ADAPTIVE_VOCAB_CEILING) + 1)
+            .limit((max_features if max_features is not None else adaptive_cap) + 1)
             .collect()
         )
-        limit = max_features if max_features is not None else ADAPTIVE_VOCAB_CEILING
+        limit = max_features if max_features is not None else adaptive_cap
         if len(stats) > limit:
             stats = stats[:limit]
             if max_features is None:
-                # the adaptive mode exists to PREVENT rare-core truncation;
-                # hitting the ceiling silently would reintroduce the OOV
-                # cosine collapse while claiming the fix is active
+                # The adaptive mode exists to PREVENT rare-core truncation;
+                # crossing the ceiling therefore SWITCHES fits rather than
+                # truncating: the hashed model keeps a weight for every
+                # term at O(n_buckets) memory regardless of term diversity.
                 import warnings
 
                 warnings.warn(
-                    "TfidfModel.fit_spark: corpus-adaptive vocabulary hit the "
-                    f"{limit}-term ceiling; rare discriminating terms are being "
-                    "truncated — switch to a hashed TF-IDF for this corpus size",
+                    "TfidfModel.fit_spark: corpus-adaptive vocabulary exceeded "
+                    f"the {limit}-term ceiling; auto-switching to hashed TF-IDF "
+                    f"({overflow_n_buckets} buckets) to preserve rare "
+                    "discriminating terms",
                     RuntimeWarning,
                     stacklevel=2,
+                )
+                return HashedTfidfModel.fit_spark(
+                    names_df,
+                    name_col=name_col,
+                    extra_corpus=extra_corpus,
+                    max_df=max_df,
+                    n_buckets=overflow_n_buckets,
                 )
         kept = sorted(r["term"] for r in stats)
         dfmap = {r["term"]: r["df"] for r in stats}

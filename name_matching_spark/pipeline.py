@@ -87,6 +87,11 @@ class EntityResolutionPipeline:
         # run time (clustering.resolve_auto_cap): the sweep optimum moves
         # 4 -> 6 across the 31k -> 307k-name fixtures, so larger corpora
         # get more ladder room before Louvain.
+        if isinstance(refine_max_component, str) and refine_max_component != "auto":
+            raise ValueError(
+                "refine_max_component must be an int, None, or the string "
+                f"'auto'; got {refine_max_component!r}"
+            )
         self.refine_max_component = refine_max_component
         self.refine_ladder = tuple(refine_ladder)
         # Size at which the EVIDENCE rung applies (None = the ladder cap;
@@ -192,6 +197,17 @@ class EntityResolutionPipeline:
         meta = {
             **fingerprint,
             "json_md5": hashlib.md5(payload.encode()).hexdigest(),
+            # EFFECTIVE fit (may differ from the requested fit_cfg: the
+            # adaptive fit auto-switches to hashed past its term ceiling).
+            # Deterministic in (corpus, input, fit_cfg) — all compared
+            # fingerprint keys — so serving a stored artifact is safe;
+            # recorded for observability and flows into the scored_pairs
+            # fingerprint via json_md5 (a mode flip re-scores).
+            "effective_fit": (
+                f"hashed-{tfidf.n_buckets}"
+                if hasattr(tfidf, "n_buckets")
+                else f"adaptive-{len(tfidf.vocab)}"
+            ),
         }
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -342,9 +358,14 @@ class EntityResolutionPipeline:
         # grown across a cap boundary invalidates the stage on resume.
         refine_cap = self.refine_max_component
         if refine_cap == "auto":
-            from name_matching_spark.operators.clustering import resolve_auto_cap
+            if self.clustering == "louvain":
+                # Louvain ignores the ladder cap — don't spend a count()
+                # job or record a misleading resolved value in the manifest.
+                refine_cap = None
+            else:
+                from name_matching_spark.operators.clustering import resolve_auto_cap
 
-            refine_cap = resolve_auto_cap(names.count())
+                refine_cap = resolve_auto_cap(names.count())
         if self.clustering == "louvain":
             from name_matching_spark.operators.louvain import louvain_communities
 

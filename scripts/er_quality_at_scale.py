@@ -85,6 +85,15 @@ def main() -> None:
     for n in sizes:
         fixture = os.path.join(REPO, "data", f"bench_transcripts_e{n}")
         if not os.path.exists(os.path.join(fixture, "truth.parquet")):
+            # Generate only when the fixture is absent entirely: a
+            # transcripts.parquet without truth.parquet means a
+            # partially-built or foreign fixture — overwriting it with
+            # seed-42 defaults would silently change bench numbers.
+            if os.path.exists(os.path.join(fixture, "transcripts.parquet")):
+                raise SystemExit(
+                    f"{fixture} has transcripts.parquet but no truth.parquet; "
+                    "remove the directory (or supply truth.parquet) before rerunning"
+                )
             from name_matching_spark.datagen import write_fixture
 
             write_fixture(fixture, n_entities=n, convs_per_entity=5, seed=42)

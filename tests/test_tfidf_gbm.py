@@ -237,3 +237,74 @@ def test_hashed_tfidf_matches_uncapped_vocab(spark):
     a = hashed.cosine_pairs(["QRZX FOO"], ["QRZX BAR"])[0]
     b = hashed.cosine_pairs(["QRZX FOO"], ["MLPV BAZ"])[0]
     assert a > 0.1 and b == 0.0
+
+
+def test_adaptive_tfidf_auto_switches_to_hashed_past_ceiling(spark):
+    """Crossing the adaptive vocabulary ceiling must FLIP the fit to the
+    hashing-trick model (not silently truncate rare terms) and warn."""
+    import pytest
+
+    from name_matching_spark.functions.tfidf import HashedTfidfModel
+
+    corpus = [
+        "ACME GLOBAL HOLDINGS", "JOHN WICK", "ZENITH HOTEL CO",
+        "MARIA GARCIA", "ATLAS BANK LTD", "ORION FREIGHT GROUP",
+    ]
+    names_df = spark.createDataFrame([(c,) for c in corpus], ["name"])
+    # under the ceiling: stays adaptive
+    under = TfidfModel.fit_spark(names_df, max_features=None, ceiling=1000)
+    assert isinstance(under, TfidfModel)
+    # over the ceiling: auto-switch, with a warning
+    with pytest.warns(RuntimeWarning, match="auto-switching to hashed"):
+        over = TfidfModel.fit_spark(
+            names_df, max_features=None, ceiling=5, overflow_n_buckets=1 << 20
+        )
+    assert isinstance(over, HashedTfidfModel)
+    # the switched model keeps EVERY term (no rare-core truncation): with
+    # singleton buckets it matches the uncapped dense fit numerically
+    xs, ys = corpus, corpus[1:] + corpus[:1]
+    np.testing.assert_allclose(
+        over.cosine_pairs(xs, ys), under.cosine_pairs(xs, ys), atol=1e-12
+    )
+    # and the artifact round-trips through the polymorphic loader, so a
+    # resumed pipeline scores with the switched model transparently
+    assert isinstance(TfidfModel.from_json(over.to_json()), HashedTfidfModel)
+
+
+def test_pipeline_sidecar_invalidates_on_mode_flip(spark, tmp_path, monkeypatch):
+    """A pipeline resume across the adaptive ceiling must refit + record the
+    EFFECTIVE fit in the sidecar meta (mode flip => new json_md5 =>
+    scored_pairs invalidated via its tfidf fingerprint)."""
+    import json as _json
+    import os as _os
+
+    import name_matching_spark.functions.tfidf as tfidf_mod
+    from name_matching_spark.datagen import write_fixture
+    from name_matching_spark.pipeline import EntityResolutionPipeline
+
+    fixture = tmp_path / "fx"
+    write_fixture(str(fixture), n_entities=30, convs_per_entity=2, seed=7)
+    transcripts = spark.read.parquet(str(fixture / "transcripts.parquet"))
+    wh = str(tmp_path / "wh")
+    pipe = EntityResolutionPipeline(spark, wh)
+    pipe.run(transcripts)
+    with open(_os.path.join(wh, "tfidf.json.meta")) as f:
+        meta1 = _json.load(f)
+    assert meta1["effective_fit"].startswith("adaptive-")
+    # shrink the ceiling below this corpus's term count and resume: the
+    # fit_cfg fingerprint changes, the sidecar refits, and the effective
+    # fit records the hashed switch
+    monkeypatch.setattr(tfidf_mod, "ADAPTIVE_VOCAB_CEILING", 10)
+    import name_matching_spark.pipeline as pipeline_mod
+
+    monkeypatch.setattr(pipeline_mod, "ADAPTIVE_VOCAB_CEILING", 10)
+    pipe2 = EntityResolutionPipeline(spark, wh)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        pipe2.run(transcripts)
+    with open(_os.path.join(wh, "tfidf.json.meta")) as f:
+        meta2 = _json.load(f)
+    assert meta2["effective_fit"].startswith("hashed-")
+    assert meta2["json_md5"] != meta1["json_md5"]
