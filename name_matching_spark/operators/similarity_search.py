@@ -12,8 +12,10 @@
   list assignment, per-query n_probe-list probing with exact re-rank).
 
 Hyperplanes/centroids are derived deterministically (seeded) at
-plan-build time and shipped as literal arrays — no state, reproducible
-across runs.
+plan-build time and shipped as ONE broadcast constant nested-array column
+(a single-row cross join) — no state, reproducible across runs, and plan
+node count flat in tables*bits*dim (per-element literals were a plan-size
+hazard at real embedding dims, 384+).
 """
 
 from __future__ import annotations
@@ -74,13 +76,40 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarray
     return rng.standard_normal((tables, bits, dim))
 
 
-def _bucket_expr(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-LSH bucket id for one hash table (planes: (bits, dim))."""
-    bucket = F.lit(0)
-    for i, plane in enumerate(planes):
-        proj = _dot(vec, F.lit([float(x) for x in plane]))
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+def _with_constant_array(df: DataFrame, value, col_name: str, sql_type: str) -> DataFrame:
+    """Attach a constant (nested) array as ONE column via a broadcast
+    single-row cross join.  Inlining per-element ``F.lit`` literals puts
+    tables*bits*dim Literal nodes into the plan — fine at dim 32, a
+    plan-size/codegen hazard at real embedding dims (384+) where a single
+    projection would carry tens of thousands of expression nodes.  The
+    broadcast join adds one constant row; plan node count stays flat in
+    the tensor size."""
+    spark = df.sparkSession
+    one = spark.createDataFrame([(value,)], schema=f"{col_name} {sql_type}")
+    return df.crossJoin(F.broadcast(one))
+
+
+def _all_buckets(vec: Column, planes_col: Column, bits: int) -> Column:
+    """Per-table sign-LSH bucket ids (array<int>, one per hash table) from
+    an attached (tables, bits, dim) planes column — pure higher-order
+    functions, zero per-plane literals.  Bit i of a table's bucket is set
+    when the projection onto plane i is >= 0 (identical semantics to the
+    former per-literal expression)."""
+    return F.transform(
+        planes_col,
+        lambda tbl: F.aggregate(
+            F.zip_with(
+                tbl,
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda p, i: F.struct(p.alias("p"), i.alias("i")),
+            ),
+            F.lit(0),
+            lambda acc, pi: acc
+            + F.when(
+                _dot(vec, pi["p"]) >= 0, F.pow(F.lit(2.0), pi["i"]).cast("int")
+            ).otherwise(F.lit(0)),
+        ),
+    )
 
 
 def lsh_topk(
@@ -102,18 +131,21 @@ def lsh_topk(
     planes = _hyperplanes(dim, bits, tables, seed)
     corpus = emb.select(F.col(key_col).alias("vec_id"), F.col(vec_col).alias("v"))
     qs = queries.select(F.col(query_key_col).alias("query_id"), F.col(vec_col).alias("qv"))
-
-    def all_buckets(vec: Column) -> Column:
-        # ONE projection computing every table's bucket id; posexplode
-        # yields (table index, bucket) — a single corpus scan instead of a
-        # `tables`-way union of scans.
-        return F.array(*[_bucket_expr(vec, planes[t]) for t in range(tables)])
-
-    c_buck = corpus.select(
-        "vec_id", "v", F.posexplode(all_buckets(F.col("v"))).alias("tbl", "bucket")
+    planes_type = "array<array<array<double>>>"
+    # ONE projection computing every table's bucket id; posexplode yields
+    # (table index, bucket) — a single corpus scan instead of a
+    # `tables`-way union of scans.  Planes ride as one broadcast constant.
+    c_buck = _with_constant_array(corpus, planes.tolist(), "_planes", planes_type).select(
+        "vec_id", "v",
+        F.posexplode(_all_buckets(F.col("v"), F.col("_planes"), bits)).alias(
+            "tbl", "bucket"
+        ),
     )
-    q_buck = qs.select(
-        "query_id", "qv", F.posexplode(all_buckets(F.col("qv"))).alias("tbl", "bucket")
+    q_buck = _with_constant_array(qs, planes.tolist(), "_planes", planes_type).select(
+        "query_id", "qv",
+        F.posexplode(_all_buckets(F.col("qv"), F.col("_planes"), bits)).alias(
+            "tbl", "bucket"
+        ),
     )
     cand = (
         q_buck.join(c_buck, ["tbl", "bucket"])
@@ -148,11 +180,13 @@ def embedding_candidates(
     the same mega-bucket discipline as blocking.py / dedup.py."""
     planes = _hyperplanes(dim, bits, tables, seed)
     rows = emb.select(F.col(name_col).alias("name"), F.col(vec_col).alias("v"))
-    keyed = rows.select(
+    keyed = _with_constant_array(
+        rows, planes.tolist(), "_planes", "array<array<array<double>>>"
+    ).select(
         "name",
-        F.posexplode(
-            F.array(*[_bucket_expr(F.col("v"), planes[t]) for t in range(tables)])
-        ).alias("tbl", "bucket"),
+        F.posexplode(_all_buckets(F.col("v"), F.col("_planes"), bits)).alias(
+            "tbl", "bucket"
+        ),
     ).select(F.concat_ws("_", "tbl", "bucket").alias("key"), "name")
     sizes = keyed.groupBy("key").agg(F.count("*").alias("bs"))
     sized = keyed.join(sizes, "key")
@@ -250,32 +284,41 @@ def ivf_topk(
     vectors = np.array([np.asarray(v, dtype=np.float64) for v in sample_pdf["v"]])
     centroids = _spherical_kmeans(vectors, n_lists, kmeans_iters, seed)
     n_lists = len(centroids)  # may shrink if the sample was tiny
+    cent_type = "array<array<double>>"
 
-    def centroid_sims(vec: Column) -> Column:
-        unit = vec  # cosine argmax == dot argmax against unit centroids,
-        # up to the row's own norm (a positive scalar — order-preserving)
-        return F.array(
-            *[_dot(unit, F.lit([float(x) for x in c])) for c in centroids]
-        )
+    def centroid_sims(cents: Column, vec: Column) -> Column:
+        # cosine argmax == dot argmax against unit centroids, up to the
+        # row's own norm (a positive scalar — order-preserving).  Centroids
+        # ride as one broadcast constant column: inlining n_lists*dim
+        # literals is the same plan-size hazard as the LSH planes.
+        return F.transform(cents, lambda c: _dot(vec, c))
 
     # (2) one-pass assignment: array_max over (sim, -list_id) structs picks
     # the highest similarity, breaking ties toward the smaller list id
     best = F.array_max(
         F.zip_with(
-            centroid_sims(F.col("v")),
-            F.array(*[F.lit(-j) for j in range(n_lists)]),
+            centroid_sims(F.col("_cents"), F.col("v")),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_lists - 1)), lambda j: -j
+            ),
             lambda s, nj: F.struct(s.alias("s"), nj.alias("nj")),
         )
     )
-    assigned = corpus.withColumn("list_id", (-best["nj"]).cast("int"))
+    assigned = (
+        _with_constant_array(corpus, centroids.tolist(), "_cents", cent_type)
+        .withColumn("list_id", (-best["nj"]).cast("int"))
+        .drop("_cents")
+    )
 
     # (3) query probes: explode per-centroid sims, keep top n_probe
     qs = queries.select(
         F.col(query_key_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    q_lists = qs.select(
+    q_lists = _with_constant_array(qs, centroids.tolist(), "_cents", cent_type).select(
         "query_id", "qv",
-        F.posexplode(centroid_sims(F.col("qv"))).alias("list_id", "sim"),
+        F.posexplode(centroid_sims(F.col("_cents"), F.col("qv"))).alias(
+            "list_id", "sim"
+        ),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("list_id"))
     probes = F.broadcast(

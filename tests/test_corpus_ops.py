@@ -338,3 +338,48 @@ def test_ann2_recall_at_k_on_driver_fixture(spark):
     assert len(rows) == 10
     mean_recall = sum(r["recall"] for r in rows) / len(rows)
     assert mean_recall >= 0.9, f"ANN mean recall {mean_recall}"
+
+
+def test_lsh_plan_node_count_flat_in_dim(spark):
+    """Hyperplanes/centroids must ride as ONE broadcast constant, not
+    per-element literals: at dim 384 (real sentence-embedding width) the
+    optimized plan must have the same tree shape as at dim 8 — the old
+    per-literal construction put tables*bits*dim Literal nodes in the
+    projection and fell over exactly here."""
+    import numpy as np
+
+    from name_matching_spark.operators.similarity_search import ivf_topk
+
+    rng = np.random.default_rng(7)
+
+    def mk(dim):
+        rows = [(i, rng.standard_normal(dim).tolist()) for i in range(40)]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    plans = {}
+    for dim in (8, 384):
+        emb = mk(dim)
+        q = emb.limit(3).withColumnRenamed("vec_id", "query_id")
+        approx = lsh_topk(emb, q, k=5, dim=dim, bits=6, tables=4)
+        plans[dim] = approx._jdf.queryExecution().optimizedPlan().numberedTreeString()
+    n8, n384 = (len(plans[d].splitlines()) for d in (8, 384))
+    assert n384 == n8, f"plan lines grew with dim: {n8} -> {n384}"
+
+    # and the result is still correct at dim 384: self-query rank 1 = self
+    emb = mk(384)
+    q = emb.limit(3).withColumnRenamed("vec_id", "query_id")
+    top1 = {
+        r["query_id"]: r["vec_id"]
+        for r in lsh_topk(emb, q, k=1, dim=384, bits=4, tables=6).collect()
+    }
+    assert all(qid == vid for qid, vid in top1.items())
+
+    # same property for the IVF centroid expression
+    iplans = {}
+    for dim in (8, 384):
+        emb = mk(dim)
+        q = emb.limit(3).withColumnRenamed("vec_id", "query_id")
+        out = ivf_topk(emb, q, k=5, n_lists=8, n_probe=8)
+        iplans[dim] = out._jdf.queryExecution().optimizedPlan().numberedTreeString()
+    i8, i384 = (len(iplans[d].splitlines()) for d in (8, 384))
+    assert i384 == i8, f"ivf plan lines grew with dim: {i8} -> {i384}"
