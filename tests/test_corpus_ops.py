@@ -283,16 +283,16 @@ def test_ann3_ivf_recall_at_k(spark):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = brute_force_topk(emb, q, k=5)
-    # n_probe=10/16 on the driver table: its embeddings are ISOTROPIC noise
+    # n_probe=12/16 on the driver table: its embeddings are ISOTROPIC noise
     # (within-label mean cosine 0.002), where IVF recall ~ probe fraction
     # by nature — clustered-data behavior is asserted below
-    approx = ivf_topk(emb, q, k=5, n_lists=16, n_probe=10)
+    approx = ivf_topk(emb, q, k=5, n_lists=16, n_probe=12)
     rows = recall_at_k(approx, exact, k=5).collect()
     assert len(rows) == 10
     mean_recall = sum(r["recall"] for r in rows) / len(rows)
     assert mean_recall >= 0.9, f"IVF mean recall {mean_recall}"
     # deterministic: same seed -> identical result set
-    again = ivf_topk(emb, q, k=5, n_lists=16, n_probe=10)
+    again = ivf_topk(emb, q, k=5, n_lists=16, n_probe=12)
     a = sorted(map(tuple, approx.collect()))
     b = sorted(map(tuple, again.collect()))
     assert a == b
