@@ -524,6 +524,64 @@ def generate_labeled_pairs(
                             "label": 0,
                         }
                     )
+    # (f) diacritic-transliteration POSITIVES ("FRANÇOIS MÜLLER" ~
+    #     "FRANCOIS MUELLER" — pinned by the reference's predict-time
+    #     semantics, test_predict_model.py:64-180).  Normalization
+    #     preserves diacritics (P1 byte-parity with the reference), so an
+    #     accented form can share ZERO tokens with its transliteration
+    #     while every per-token relation is a 1-2 char accent fold.  The
+    #     IDF-evidence features see no shared token on such pairs, so
+    #     without explicit coverage the booster pushes them under the
+    #     threshold (measured: 0.67 on the François pair after the
+    #     feature extension).  Emitted deterministically, consuming NO
+    #     rng draws, so every family above is byte-identical.
+    _translit = {"A": ("Ä", "AE"), "O": ("Ö", "OE"), "U": ("Ü", "UE"),
+                 "E": ("É", "E"), "C": ("Ç", "C"), "N": ("Ñ", "N")}
+
+    def _accent_fold(name: str) -> tuple[str, str] | None:
+        acc_toks, fold_toks = [], []
+        changed = False
+        for tok in name.split():
+            a_tok = f_tok = tok
+            for i, ch in enumerate(tok):
+                if i == 0:
+                    continue  # keep leading chars stable (initials/blocking)
+                m = _translit.get(ch)
+                if m:
+                    a_tok = tok[:i] + m[0] + tok[i + 1:]
+                    f_tok = tok[:i] + m[1] + tok[i + 1:]
+                    changed = True
+                    break
+            acc_toks.append(a_tok)
+            fold_toks.append(f_tok)
+        if not changed:
+            return None
+        return " ".join(acc_toks), " ".join(fold_toks)
+
+    for ent in ents_list:
+        pair = _accent_fold(ent.full_name)
+        if pair is None:
+            continue
+        acc, fold = pair
+        # accented vs digraph transliteration (the zero-shared-token form)
+        rows.append({"NAME_X": acc, "NAME_Y": fold, "label": 1})
+        # accented vs plain fold
+        rows.append({"NAME_X": acc, "NAME_Y": ent.full_name, "label": 1})
+    # (g) explicit initial-form PERSON positives ("JOHN SMITH" ~ "J SMITH"):
+    #     reference pair semantics keep initial forms as pair-level MATCHES
+    #     (cluster-time subsumption routing handles their ambiguity).  The
+    #     alias grammar emits these shapes but the per-entity positive cap
+    #     leaves the region thin; after the IDF-evidence feature extension
+    #     one canonical instance sat at 0.79.  Deterministic, rng-free.
+    for ent in ents_list:
+        if ent.ent_type != "PERS":
+            continue
+        toks = ent.full_name.split()
+        if len(toks) != 2 or len(toks[0]) < 2:
+            continue
+        rows.append(
+            {"NAME_X": ent.full_name, "NAME_Y": f"{toks[0][0]} {toks[1]}", "label": 1}
+        )
     df = pd.DataFrame(rows).drop_duplicates(subset=["NAME_X", "NAME_Y"])
     return df.reset_index(drop=True)
 

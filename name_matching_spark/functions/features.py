@@ -40,7 +40,50 @@ FEATURE_COLS = [
     # different name; a two-token typo (1 edit in each of two tokens) is
     # the positive space — identical under every whole-name feature.
     "token_sub_excess",
+    # IDF-weighted shared-token evidence, moved INTO the model from the
+    # clustering evidence rung (which tested cosine>=0.05 post-hoc):
+    # shared_max_idf = rarity of the rarest SHARED token (1.0 = df-1 rare,
+    # ~0 = generic designator), length-invariant where cosine dilutes on
+    # long names; idf_jaccard = idf-weighted token-overlap ratio.  Both
+    # computed from the same TF-IDF artifact as cosine_sim, so the serve
+    # fit stays corpus-adaptive.
+    "shared_max_idf",
+    "idf_jaccard",
 ]
+
+
+def idf_evidence_batch(xs, ys, tfidf) -> tuple[np.ndarray, np.ndarray]:
+    """(shared_max_idf, idf_jaccard) for aligned batches of normalized
+    names.  Tokens are the >=2-char words (1-char initials deliberately
+    carry NO evidence — they are exactly the ambiguous glue forms),
+    lowercased to match the TF-IDF fit.  idf lookups go through the
+    model's ``unigram_idf`` (vocab or hashed-bucket), normalized by its
+    ``max_idf`` so the scale is corpus-size-stable."""
+    n = len(xs)
+    out_max = np.zeros(n, dtype=np.float64)
+    out_jac = np.zeros(n, dtype=np.float64)
+    max_idf = tfidf.max_idf() or 1.0
+    idf_cache: dict[str, float] = {}
+
+    def idf(t: str) -> float:
+        v = idf_cache.get(t)
+        if v is None:
+            v = tfidf.unigram_idf(t)
+            idf_cache[t] = v
+        return v
+
+    for k, (x, y) in enumerate(zip(xs, ys)):
+        tx = {t for t in x.lower().split() if len(t) >= 2}
+        ty = {t for t in y.lower().split() if len(t) >= 2}
+        if not tx or not ty:
+            continue
+        shared = tx & ty
+        if shared:
+            out_max[k] = max(idf(t) for t in shared) / max_idf
+            union_sum = sum(idf(t) for t in tx | ty)
+            if union_sum > 0:
+                out_jac[k] = sum(idf(t) for t in shared) / union_sum
+    return out_max, out_jac
 
 
 def build_features(xs, ys, tfidf: TfidfModel) -> np.ndarray:
@@ -55,6 +98,7 @@ def build_features(xs, ys, tfidf: TfidfModel) -> np.ndarray:
     memo: dict = {}
     # Weakest-link + sub-excess share one token-alignment/JW pass.
     twl, excess = sim._token_align_stats_batch(xs, ys)
+    shared_max_idf, idf_jaccard = idf_evidence_batch(xs, ys, tfidf)
     cols = [
         sim.jaccard_batch(xs, ys),
         tfidf.cosine_pairs(xs, ys),
@@ -70,5 +114,7 @@ def build_features(xs, ys, tfidf: TfidfModel) -> np.ndarray:
         twl,
         sim.align_edit_batch(xs, ys, memo=memo),
         excess,
+        shared_max_idf,
+        idf_jaccard,
     ]
     return np.column_stack(cols)

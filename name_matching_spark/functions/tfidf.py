@@ -111,6 +111,27 @@ class TfidfModel:
             out[k] = sum(v * wy.get(i, 0.0) for i, v in wx.items())
         return out
 
+    # -- per-token idf (the shared-rare-token evidence features) -----------
+
+    def unigram_idf(self, token: str) -> float:
+        """idf of one (lowercased) token.  A token absent from the
+        vocabulary gets the MAX observed idf: at fit time absence means
+        either rarity beyond the cap or max_df pruning, and treating it
+        as maximally discriminating mirrors HashedTfidfModel's
+        unseen-bucket rule (rare unseen terms are the informative ones —
+        the anti-OOV-collapse lesson)."""
+        i = self.vocab.get(token)
+        if i is None:
+            return self.max_idf()
+        return float(self.idf[i])
+
+    def max_idf(self) -> float:
+        m = getattr(self, "_max_idf", None)
+        if m is None:
+            m = float(self.idf.max(initial=1.0))
+            self._max_idf = m
+        return m
+
     # -- distributed fitting ---------------------------------------------------
 
     @classmethod
@@ -335,6 +356,16 @@ class HashedTfidfModel:
         return w
 
     cosine_pairs = TfidfModel.cosine_pairs  # same sparse-dict pairwise dot
+
+    def unigram_idf(self, token: str) -> float:
+        return float(self.idf[_md5_bucket(token, self.n_buckets)])
+
+    def max_idf(self) -> float:
+        m = getattr(self, "_max_idf", None)
+        if m is None:
+            m = float(max(self.idf.max(initial=1.0), self.default_idf))
+            self._max_idf = m
+        return m
 
     def to_json(self) -> str:
         # sparse: store only buckets that differ from the unseen default

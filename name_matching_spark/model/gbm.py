@@ -186,11 +186,15 @@ class GBMClassifier:
         self._leafpack = packed
         self._packed_n = len(self.trees)
 
-    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+    def predict_margin(self, X: np.ndarray) -> np.ndarray:
+        """Raw additive margin (pre-sigmoid log-odds).  The sigmoid
+        SATURATES above ~0.99 probability — thousands of pairs collapse
+        onto 0.9999+ — while the margin keeps ranking them; cluster
+        refinement uses it where probability carries no signal."""
         X = np.ascontiguousarray(X, dtype=np.float64)
         n = len(X)
         if not self.trees:
-            return _sigmoid(np.full(n, self.base_score))
+            return np.full(n, self.base_score)
         if getattr(self, "_packed_n", -1) != len(self.trees):
             self._pack()
         cols = [np.ascontiguousarray(X[:, j]) for j in range(X.shape[1])]
@@ -209,7 +213,10 @@ class GBMClassifier:
                     margin += contrib
                 else:
                     margin[mask] += contrib
-        return _sigmoid(margin)
+        return margin
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        return _sigmoid(self.predict_margin(X))
 
     # -- (de)serialization --------------------------------------------------------
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -25,7 +26,11 @@ from name_matching_spark.functions.features import FEATURE_COLS, build_features
 
 # Derived from FEATURE_COLS so a feature added there cannot leave the UDF
 # schema stale (all features are float64 by build_features' contract).
-_SCORE_SCHEMA = ", ".join(f"{c} double" for c in [*FEATURE_COLS, "probability"])
+# "margin" = the GBM's raw log-odds: monotone with probability but NOT
+# saturated — above prob 0.99 it is the only ranking signal left.
+_SCORE_SCHEMA = ", ".join(
+    f"{c} double" for c in [*FEATURE_COLS, "probability", "margin"]
+)
 
 # Executor-side artifact cache: parse JSON once per python worker.
 _ARTIFACT_CACHE: dict = {}
@@ -67,9 +72,10 @@ def make_scorer_udf(model_json: str, tfidf_json: str, spark=None):
             lx = xs.fillna("").tolist()
             ly = ys.fillna("").tolist()
             X = build_features(lx, ly, tfidf)
-            prob = model.predict_proba(X)
+            margin = model.predict_margin(X)
             out = pd.DataFrame(X, columns=FEATURE_COLS)
-            out["probability"] = prob
+            out["probability"] = 1.0 / (1.0 + np.exp(-margin))
+            out["margin"] = margin
             yield out
 
     # asNondeterministic: the scorer IS deterministic, but declaring it so
@@ -155,6 +161,10 @@ def score_pairs(
         cols += [F.col("_s.cosine_sim").alias("cosine_sim"),
                  F.col("_s.align_edit").alias("align_edit"),
                  F.col("_s.token_weakest_link").alias("token_weakest_link")]
+    # The raw margin always rides along: refinement ladder rungs above
+    # prob 0.99 operate where the sigmoid has flattened thousands of
+    # edges onto 0.9999+ — the margin still ranks them.
+    cols += [F.col("_s.margin").alias("margin")]
     has_emb = {"emb_x", "emb_y"} <= set(pairs.columns)
     decision = valid & (prob_raw >= F.lit(threshold))
     if has_emb:
