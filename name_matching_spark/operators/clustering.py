@@ -209,6 +209,19 @@ def connected_components(
     return out
 
 
+def _logit(t: float) -> float:
+    import math
+
+    return math.log(t / (1.0 - t))
+
+
+# Probability rungs above this use the RAW MARGIN (when available): the
+# persisted probability column is rounded to 4 decimals, so every edge
+# past 0.99995 is literally equal there — the sigmoid-free margin still
+# ranks them (margin >= logit(t) == raw prob >= t, exactly).
+MARGIN_RUNG_MIN_PROB = 0.999
+
+
 def _refine_driver(
     rows: list,
     max_component: int,
@@ -220,9 +233,13 @@ def _refine_driver(
 ) -> dict:
     """Driver-side twin of the distributed refinement: identical labels
     (min-name CC, same ladder semantics, same Louvain with the subgraph's
-    own 2m).  ``rows`` is the collected (src, dst, prob, cosine, align)
-    edge list (evidence entries None when the frame has no such columns);
-    ``evidence`` is (min_cosine, max_align) or None to skip the rung."""
+    own 2m).  ``rows`` is the collected (src, dst, prob, cosine, align,
+    margin) edge list (evidence/margin entries None when the frame has no
+    such columns); ``evidence`` is (min_cosine, max_align) or None to skip
+    the rung.  Ladder rungs above :data:`MARGIN_RUNG_MIN_PROB` compare the
+    margin against logit(t) when a margin is present — identical decision
+    to raw-probability >= t, immune to the 4dp rounding of the persisted
+    probability column."""
     from collections import Counter
 
     def cc_local(pairs) -> dict:
@@ -243,26 +260,39 @@ def _refine_driver(
         # keep (the evidence keep is not a subset of any probability
         # rung), and including them re-welds what the ladder separated.
         strong = [
-            (a, b) for a, b, p, c, al in rows
+            (a, b) for a, b, p, c, al, mg in rows
             if a in bign and b in bign and comps[a] == comps[b]
-            and keep(p, c, al)
+            and keep(p, c, al, mg)
         ]
         sub = cc_local(strong)
         return {
             n: (sub.get(n, n) if lab in big else lab) for n, lab in comps.items()
         }
 
-    comps = cc_local([(a, b) for a, b, _, _, _ in rows])
+    comps = cc_local([(a, b) for a, b, *_ in rows])
     for t in ladder:
         prev = comps
-        comps = split_big(comps, lambda p, c, al, t=t: p is not None and p >= t)
+        if t > MARGIN_RUNG_MIN_PROB:
+            lt = _logit(t)
+
+            def keep(p, c, al, mg, t=t, lt=lt):
+                if mg is not None:
+                    return mg >= lt
+                return p is not None and p >= t
+
+        else:
+
+            def keep(p, c, al, mg, t=t):
+                return p is not None and p >= t
+
+        comps = split_big(comps, keep)
         if comps is prev:
             break
     if evidence is not None:
         cmin, amax = evidence
         comps = split_big(
             comps,
-            lambda p, c, al: (c is not None and c >= cmin)
+            lambda p, c, al, mg: (c is not None and c >= cmin)
             or (al is not None and al <= amax),
             bound=evidence_min_size,
         )
@@ -276,7 +306,7 @@ def _refine_driver(
             internal = sorted(
                 {
                     (min(a, b), max(a, b))
-                    for a, b, _, _, _ in rows
+                    for a, b, *_ in rows
                     if a in bign and b in bign and a != b
                 }
             )
@@ -365,6 +395,9 @@ def attach_subsumed(
     ev_cols = [
         (F.col("cosine_sim") if has_cos else null_d).alias("c"),
         (F.col("align_edit") if has_al else null_d).alias("al"),
+        (F.col("margin") if "margin" in sub_edges.columns else null_d).alias(
+            "mg"
+        ),
     ]
 
     def _side(a: str, b: str) -> DataFrame:
@@ -413,9 +446,17 @@ def attach_subsumed(
             cand.where(F.col("_sing").isNull())
             .groupBy("name")
             .agg(
-                F.min_by("_tc", F.struct(-F.col("p"), F.col("_tc"))).alias(
-                    "component"
-                )
+                # probability first, raw margin as the tiebreak (the
+                # 4dp-rounded p ties across saturated webs; a missing
+                # margin sorts last) — byte-matching the driver twin's key
+                F.min_by(
+                    "_tc",
+                    F.struct(
+                        -F.col("p"),
+                        -F.coalesce(F.col("mg"), F.lit(float("-inf"))),
+                        F.col("_tc"),
+                    ),
+                ).alias("component")
             )
         )
         if singleton_attach:
@@ -502,10 +543,14 @@ def subsumption_aware_components(
         else F.lit(None).cast("double").alias("c"),
         F.col("align_edit").alias("al"),
         F.col("token_weakest_link").alias("twl"),
+        (
+            F.col("margin") if "margin" in matches.columns
+            else F.lit(None).cast("double")
+        ).alias("mg"),
     )
     if m.limit(driver_max_edges + 1).count() <= driver_max_edges:
         rows = [
-            (r["src"], r["dst"], r["p"], r["c"], r["al"], r["twl"])
+            (r["src"], r["dst"], r["p"], r["c"], r["al"], r["twl"], r["mg"])
             for r in m.toLocalIterator()
             if r["src"] != r["dst"]
         ]
@@ -594,12 +639,13 @@ def _subsumption_aware_driver(
     singleton_attach: bool = True,
 ) -> dict:
     """Driver twin of the distributed composition.  ``rows``:
-    (src, dst, p, cosine, align, twl) tuples, self-loops pre-dropped."""
+    (src, dst, p, cosine, align, twl, margin) tuples, self-loops
+    pre-dropped."""
     from collections import defaultdict
 
-    glue = [(a, b, p, c, al) for a, b, p, c, al, twl in rows
+    glue = [(a, b, p, c, al, mg) for a, b, p, c, al, twl, mg in rows
             if not _is_sub_row(twl, al)]
-    sub = [(a, b, p, c, al) for a, b, p, c, al, twl in rows
+    sub = [(a, b, p, c, al, mg) for a, b, p, c, al, twl, mg in rows
            if _is_sub_row(twl, al)]
     comp = _refine_driver(
         glue,
@@ -628,9 +674,10 @@ def _subsumption_aware_driver(
         )
 
     adj: dict = defaultdict(list)
-    for a, b, p, c, al in sub:
-        adj[a].append((p, b, c, al))
-        adj[b].append((p, a, c, al))
+    for a, b, p, c, al, mg in sub:
+        adj[a].append((p, b, c, al, mg))
+        adj[b].append((p, a, c, al, mg))
+    _NEG_INF = float("-inf")
     for _ in range(max(attach_rounds, 1)):
         anc = anchored_names(comp)
         newly = {}
@@ -641,21 +688,26 @@ def _subsumption_aware_driver(
                 if singleton_attach:
                     tcs = {
                         comp[o]
-                        for p, o, c, al in lst
+                        for p, o, c, al, mg in lst
                         if o in anc and _ev(c, al)
                     }
                     if len(tcs) == 1:
                         newly[n] = min(tcs)
                 continue
             best = None
-            for p, o, c, al in lst:
+            for p, o, c, al, mg in lst:
                 if o not in anc:
                     continue
-                key = (-p, comp[o])
+                # probability first (reference-parity decision value), raw
+                # margin as the tiebreak: the 4dp-rounded probability TIES
+                # across whole saturated webs, where "smallest component
+                # label" was effectively a coin flip — the margin still
+                # ranks those partners
+                key = (-p, -(mg if mg is not None else _NEG_INF), comp[o])
                 if best is None or key < best:
                     best = key
             if best is not None:
-                newly[n] = best[1]
+                newly[n] = best[2]
         if not newly:
             break
         comp.update(newly)
@@ -663,8 +715,8 @@ def _subsumption_aware_driver(
     # on both sides): refine among themselves
     anc = anchored_names(comp) if singleton_attach else set(comp)
     residual = [
-        (a, b, p, c, al)
-        for a, b, p, c, al in sub
+        (a, b, p, c, al, mg)
+        for a, b, p, c, al, mg in sub
         if a not in anc and b not in anc
     ]
     if residual:
@@ -825,11 +877,16 @@ def refined_components(
         if has_evidence
         else [F.lit(None).cast("double").alias("c"), F.lit(None).cast("double").alias("al")]
     )
+    has_margin = "margin" in matches.columns
+    mg_col = (
+        F.col("margin") if has_margin else F.lit(None).cast("double")
+    ).alias("mg")
     m = matches.select(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
         F.col(prob_col).alias("p"),
         *ev_cols,
+        mg_col,
     )
     if m.limit(driver_max_edges + 1).count() <= driver_max_edges:
         # Degenerate-edge parity with the distributed path: _canon_edges
@@ -839,7 +896,7 @@ def refined_components(
         # public-operator inputs (a NULL prob would otherwise TypeError in
         # Python's `p >= t`, and a self-loop would get a driver-only label).
         rows = [
-            (r["src"], r["dst"], r["p"], r["c"], r["al"])
+            (r["src"], r["dst"], r["p"], r["c"], r["al"], r["mg"])
             for r in m.toLocalIterator()
             if r["src"] != r["dst"]
         ]
@@ -916,7 +973,13 @@ def refined_components(
         )
 
     for t in ladder:
-        comp, had_big = _split_big(comp, F.col(prob_col) >= t)
+        if t > MARGIN_RUNG_MIN_PROB and has_margin:
+            # identical decision to raw-prob >= t; the persisted
+            # probability is 4dp-rounded and saturates at 1.0
+            rung_cond = F.col("margin") >= F.lit(_logit(t))
+        else:
+            rung_cond = F.col(prob_col) >= t
+        comp, had_big = _split_big(comp, rung_cond)
         if not had_big:
             break
     # Evidence rung: probability alone saturates on dense confusable webs

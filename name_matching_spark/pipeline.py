@@ -399,6 +399,10 @@ class EntityResolutionPipeline:
                     "cosine_sim",
                     align.alias("align_edit"),
                     "token_weakest_link",
+                    # raw margin (when the checkpoint carries it): ladder
+                    # rungs above 0.999 and attach tie-breaks rank with it
+                    # where the 4dp probability has saturated
+                    *(["margin"] if "margin" in matches.columns else []),
                 )
                 if self.subsume_attach:
                     # Subsumption edges (initial/diminutive/prefix-

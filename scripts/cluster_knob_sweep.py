@@ -47,9 +47,9 @@ def main() -> None:
         stages = pipe.run(transcripts)
         conv = stages["conversations"].localCheckpoint()
         names = stages["names"].localCheckpoint()
+        sp = stages["scored_pairs"]
         matches = (
-            stages["scored_pairs"]
-            .where(F.col("prediction") == 1)
+            sp.where(F.col("prediction") == 1)
             .select(
                 F.col("name_x").alias("src"),
                 F.col("name_y").alias("dst"),
@@ -57,20 +57,36 @@ def main() -> None:
                 "cosine_sim",
                 "align_edit",
                 "token_weakest_link",
+                *(["margin"] if "margin" in sp.columns else []),
             )
             .localCheckpoint()
         )
         _L = (0.92, 0.96, 0.99, 0.995, 0.999)
+        # margin rungs: ladder values above 0.999 compare the raw GBM
+        # margin against logit(t) — the 4dp probability saturates there
+        _LM1 = _L + (0.9999,)
+        _LM2 = _L + (0.9999, 0.99999)
+        _LM3 = _L + (0.9999, 0.99999, 0.999999)
         grid = [
-            # cap sweep under singleton re-attach (unanimous evidence
-            # votes): attachment now recovers the recall a tighter cap
-            # sheds, so the cap/precision trade needs re-measuring
-            {"max_component": 4, "ladder": _L, "subsume": True,
-             "evidence_min_size": 2},
             {"max_component": 5, "ladder": _L, "subsume": True,
              "evidence_min_size": 2},
-            {"max_component": 6, "ladder": _L, "subsume": True,
+            {"max_component": 5, "ladder": _LM1, "subsume": True,
              "evidence_min_size": 2},
+            {"max_component": 5, "ladder": _LM2, "subsume": True,
+             "evidence_min_size": 2},
+            {"max_component": 5, "ladder": _LM3, "subsume": True,
+             "evidence_min_size": 2},
+            {"max_component": 4, "ladder": _LM2, "subsume": True,
+             "evidence_min_size": 2},
+            {"max_component": 6, "ladder": _LM2, "subsume": True,
+             "evidence_min_size": 2},
+            # evidence bound 1: HALF of final clusters are 2-name; bound 2
+            # exempts them from the evidence rung entirely, and the 100k
+            # FP mass now sits in small mixed clusters
+            {"max_component": 5, "ladder": _L, "subsume": True,
+             "evidence_min_size": 1},
+            {"max_component": 5, "ladder": _LM2, "subsume": True,
+             "evidence_min_size": 1},
         ]
         for knobs in grid:
             kw = {k: v for k, v in knobs.items() if k != "subsume"}

@@ -79,7 +79,13 @@ def main() -> None:
             stages = pipe.run(transcripts)
             cand = stages["candidate_pairs"].toPandas()
             cand["cand"] = True
-            scored = stages["scored_pairs"].toPandas()
+            # project BEFORE collecting: the full keep_features frame at
+            # 100k exceeds spark.driver.maxResultSize
+            scored = stages["scored_pairs"].select(
+                "name_x", "name_y", "prediction", "probability",
+                "cosine_sim", "align_edit", "token_weakest_link",
+                "token_set_ratio", "ratio",
+            ).toPandas()
             comp = stages["components"].toPandas().set_index("name")["component"]
 
             df = tp.merge(cand, on=["name_x", "name_y"], how="left")
