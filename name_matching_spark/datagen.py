@@ -582,6 +582,33 @@ def generate_labeled_pairs(
         rows.append(
             {"NAME_X": ent.full_name, "NAME_Y": f"{toks[0][0]} {toks[1]}", "label": 1}
         )
+    # (h) MISMATCHED-initial PERS negatives ("X SMITH" vs "JOHN SMITH"
+    #     with X != J): the glue family family (g) opened — an initial
+    #     form shares only the rare surname, so shared_max_idf lifts it
+    #     toward every same-surname entity, not just its own.  Paired
+    #     with the initial_conflict feature (features.py), which is what
+    #     makes these separable from (g)'s positives; without the feature
+    #     this family would sit on (g)'s vectors and cost reference F1
+    #     (the measured family-(b) lesson).  Deterministic, rng-free:
+    #     the wrong letter is a fixed +7 rotation of the true initial.
+    for ent in ents_list:
+        if ent.ent_type != "PERS":
+            continue
+        toks = ent.full_name.split()
+        if len(toks) != 2 or len(toks[0]) < 2:
+            continue
+        wrong = chr((ord(toks[0][0]) - 65 + 7) % 26 + 65)
+        rows.append(
+            {"NAME_X": f"{wrong} {toks[1]}", "NAME_Y": ent.full_name, "label": 0}
+        )
+        # initial-vs-initial mismatch under the same surname
+        rows.append(
+            {
+                "NAME_X": f"{wrong} {toks[1]}",
+                "NAME_Y": f"{toks[0][0]} {toks[1]}",
+                "label": 0,
+            }
+        )
     df = pd.DataFrame(rows).drop_duplicates(subset=["NAME_X", "NAME_Y"])
     return df.reset_index(drop=True)
 

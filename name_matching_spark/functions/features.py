@@ -49,7 +49,133 @@ FEATURE_COLS = [
     # fit stays corpus-adaptive.
     "shared_max_idf",
     "idf_jaccard",
+    # Count of single-letter (initial) tokens left facing an unexplained
+    # token on the other side whose first letter they do not match:
+    # "N QUENNEVILLE" vs "SENN QUENNEVILLE" conflicts (N prefixes neither
+    # SENN nor anything else unconsumed), while "N QUENNEVILLE" vs
+    # "NADIA QUENNEVILLE" and the reference positive "D BARRIGA" vs
+    # "BARRIGAS" stay at 0 (NADIA is prefix-consumed by N; BARRIGAS is
+    # near-match-consumed by BARRIGA).  The dominant glue family measured
+    # at the 60/10k fixtures once shared_max_idf lifted initial forms.
+    "initial_conflict",
 ]
+
+
+_FOLD_CACHE: dict = {}
+
+
+def _fold(t: str) -> str:
+    """Diacritic-folded form for prefix tests only (normalization is
+    diacritic-preserving, so "É POWELL" must still satisfy against
+    "ETIENNE POWELL" and vice versa)."""
+    v = _FOLD_CACHE.get(t)
+    if v is None:
+        import unicodedata
+
+        v = "".join(
+            c
+            for c in unicodedata.normalize("NFD", t)
+            if not unicodedata.combining(c)
+        )
+        _FOLD_CACHE[t] = v
+    return v
+
+
+def initial_conflict_batch(xs, ys) -> np.ndarray:
+    """Per-pair count of CONFLICTED initials for aligned batches of
+    normalized names.
+
+    Full tokens consume each other (each at most once): exact multiset
+    intersection first, then near matches (prefix or edit<=2 — the typo /
+    diminutive / apostrophe-split positive space) paired best-first so a
+    typo-split like "D R NEER" ~ "DER MEER" aligns MEER~NEER before DER
+    steals it.  Only a LEADING 1-char token counts as a person initial —
+    mid-name single letters are legal-form runs ("COSTE S A R L") and
+    Romance conjunctions ("SOARES E FILHOS", "MORENO Y COLL"), measured
+    as ~140 reference POSITIVES if counted.  A leading initial is
+    SATISFIED if it diacritic-fold-prefixes ANY full token on the other
+    side — consumed or not, so "FRANCISCO F SCHWITAL" ~ "JOSE FRANCISCO
+    SCHWITAL" stays clean — or equals the other side's leading initial.
+    A remaining initial CONFLICTS iff the other side still has an
+    unexplained full token or a differing leading initial:
+    "N QUENNEVILLE" ~ "SENN QUENNEVILLE" conflicts (N prefixes nothing,
+    SENN is unexplained) while "N QUENNEVILLE" ~ "NADIA QUENNEVILLE" and
+    the reference positive "D BARRIGA" ~ "BARRIGAS" stay 0.
+    Legal-entity designators (INC, HOLDINGS, ...) never count as
+    unexplained — org aliases add/drop them freely, and a typo-split
+    initial ("BARG I PARTNERS" ~ "BARGRI PARTNERS HOLDINGS") must not
+    conflict with a suffix variation.
+    """
+    from name_matching_spark.functions.similarity import (
+        LEGAL_SUFFIXES,
+        levenshtein,
+    )
+
+    n = len(xs)
+    out = np.zeros(n, dtype=np.float64)
+    for k, (x, y) in enumerate(zip(xs, ys)):
+        tx = x.split()
+        ty = y.split()
+        if len(tx) < 2 and len(ty) < 2:
+            continue
+        ix = [tx[0]] if tx and len(tx[0]) == 1 else []
+        iy = [ty[0]] if ty and len(ty[0]) == 1 else []
+        if not ix and not iy:
+            continue
+        fx = [t for t in tx if len(t) > 1]
+        fy = [t for t in ty if len(t) > 1]
+        # 1. exact full-token matches
+        rem_y = list(fy)
+        rem_x = []
+        for t in fx:
+            if t in rem_y:
+                rem_y.remove(t)
+            else:
+                rem_x.append(t)
+        # 2. best-first near-match consumption among remaining full tokens
+        if rem_x and rem_y:
+            cand = []
+            for a in rem_x:
+                for b in rem_y:
+                    if a.startswith(b) or b.startswith(a):
+                        d = 0.5
+                    elif abs(len(a) - len(b)) <= 2:
+                        d = levenshtein(a, b)
+                        if d > 2:
+                            continue
+                    else:
+                        continue
+                    cand.append((d, a, b))
+            used_x, used_y = set(), set()
+            for d, a, b in sorted(cand, key=lambda t: t[0]):
+                if a in used_x or b in used_y:
+                    continue
+                used_x.add(a)
+                used_y.add(b)
+            rem_x = [t for t in rem_x if t not in used_x]
+            rem_y = [t for t in rem_y if t not in used_y]
+
+        # 3. initial satisfaction: fold-prefix of ANY full token on the
+        #    other side (consumed or not), or an equal initial there
+        def _sat(i, fulls, inits):
+            fi = _fold(i)
+            return i in inits or any(_fold(t).startswith(fi) for t in fulls)
+
+        rem_ix = [i for i in ix if not _sat(i, fy, iy)]
+        rem_iy = [i for i in iy if not _sat(i, fx, ix)]
+        if not rem_ix and not rem_iy:
+            continue
+        # conflicts: a leftover initial facing ANY leftover on the other
+        # side (designators are never "unexplained" — see docstring)
+        rem_x = [t for t in rem_x if t not in LEGAL_SUFFIXES]
+        rem_y = [t for t in rem_y if t not in LEGAL_SUFFIXES]
+        c = 0
+        if rem_y or rem_iy:
+            c += len(rem_ix)
+        if rem_x or rem_ix:
+            c += len(rem_iy)
+        out[k] = float(c)
+    return out
 
 
 def idf_evidence_batch(xs, ys, tfidf) -> tuple[np.ndarray, np.ndarray]:
@@ -116,5 +242,6 @@ def build_features(xs, ys, tfidf: TfidfModel) -> np.ndarray:
         excess,
         shared_max_idf,
         idf_jaccard,
+        initial_conflict_batch(xs, ys),
     ]
     return np.column_stack(cols)

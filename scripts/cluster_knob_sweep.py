@@ -67,7 +67,35 @@ def main() -> None:
         _LM1 = _L + (0.9999,)
         _LM2 = _L + (0.9999, 0.99999)
         _LM3 = _L + (0.9999, 0.99999, 0.999999)
-        grid = [
+        if len(sys.argv) > 2:
+            # cap-only sweep at the SHIPPED ladder/evidence defaults:
+            # `python scripts/cluster_knob_sweep.py 300000 5,6,7,8`
+            # (the third-scale-point validation of refine_max_component
+            # ="auto" — VERDICT r4 item 7)
+            grid = [
+                {"max_component": int(c), "ladder": _L, "subsume": True,
+                 "evidence_min_size": 2}
+                for c in sys.argv[2].split(",")
+            ]
+        else:
+            grid = _default_grid(_L, _LM1, _LM2, _LM3)
+        for knobs in grid:
+            kw = {k: v for k, v in knobs.items() if k != "subsume"}
+            if knobs["subsume"]:
+                comp = subsumption_aware_components(matches, **kw)
+            else:
+                comp = refined_components(matches, **kw)
+            entities = entity_table(comp, names)
+            resolved = resolve_records(conv, entities, ["name"])
+            m = pair_f1(spark, resolved, truth_path)
+            print(json.dumps({**knobs, "ladder": list(knobs["ladder"]), **m}), flush=True)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    spark.stop()
+
+
+def _default_grid(_L, _LM1, _LM2, _LM3):
+    return [
             {"max_component": 5, "ladder": _L, "subsume": True,
              "evidence_min_size": 2},
             {"max_component": 5, "ladder": _LM1, "subsume": True,
@@ -87,20 +115,7 @@ def main() -> None:
              "evidence_min_size": 1},
             {"max_component": 5, "ladder": _LM2, "subsume": True,
              "evidence_min_size": 1},
-        ]
-        for knobs in grid:
-            kw = {k: v for k, v in knobs.items() if k != "subsume"}
-            if knobs["subsume"]:
-                comp = subsumption_aware_components(matches, **kw)
-            else:
-                comp = refined_components(matches, **kw)
-            entities = entity_table(comp, names)
-            resolved = resolve_records(conv, entities, ["name"])
-            m = pair_f1(spark, resolved, truth_path)
-            print(json.dumps({**knobs, "ladder": list(knobs["ladder"]), **m}), flush=True)
-    finally:
-        shutil.rmtree(wh, ignore_errors=True)
-    spark.stop()
+    ]
 
 
 if __name__ == "__main__":

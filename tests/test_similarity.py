@@ -186,3 +186,55 @@ def test_feature_matrix_contract():
         assert all(0.0 <= v <= 1.0 for v in cols[name]), name
     assert all(0 <= v <= 100 for v in cols["partial_ratio"])
     assert all(v >= 0 for v in cols["len_diff"])
+
+
+def test_initial_conflict_cases():
+    from name_matching_spark.functions.features import initial_conflict_batch
+
+    cases = [
+        # the measured 60/10k glue family: an initial that prefixes
+        # NOTHING unexplained on the other side
+        ("N QUENNEVILLE", "SENN QUENNEVILLE", 1),
+        ("X SMITH", "JOHN SMITH", 1),
+        ("N SMITH", "K SMITH", 2),
+        ("N", "SENN QUENNEVILLE", 1),
+        # compatible initial forms (reference positive space) stay 0
+        ("N QUENNEVILLE", "NADIA QUENNEVILLE", 0),
+        ("J SMITH", "JOHN SMITH", 0),
+        ("J SMITH", "SMITH JOHN", 0),
+        ("J SMITH", "J SMITH", 0),
+        # split-token alias vs initial alias of the SAME entity: the
+        # other side's initial consumes the leftover first name, the
+        # split surname is near-match-consumed
+        ("NADIA Q UENNEVILLE", "N QUENNEVILLE", 0),
+        ("NADIA Q UENNEVILLE", "NADIA QUENNEVILLE", 0),
+        # reference positive "D BARRIGA"~"BARRIGAS": the surname is
+        # near-match-consumed, so D faces nothing
+        ("D BARRIGA", "BARRIGAS", 0),
+        # diminutive prefix + initial
+        ("ADRI TENCA", "A TENCALLA", 0),
+        # no initials anywhere -> always 0
+        ("SENN QUENNEVILLE", "SENC QUENNEVILLE", 0),
+        ("SMITH", "SMITH", 0),
+        ("", "", 0),
+        ("N QUENNEVILLE", "QUENNEVILLE", 0),
+    ]
+    got = initial_conflict_batch([a for a, _, _ in cases], [b for _, b, _ in cases])
+    for (a, b, want), g in zip(cases, got):
+        assert g == want, f"{a!r} ~ {b!r}: got {g}, want {want}"
+
+
+def test_labeled_pairs_mismatched_initial_family():
+    """Family (h): mismatched-initial negatives exist and never collide
+    with family (g)'s compatible-initial positives."""
+    from name_matching_spark.datagen import generate_labeled_pairs
+    from name_matching_spark.functions.features import initial_conflict_batch
+
+    df = generate_labeled_pairs(n_entities=80, seed=7)
+    conf = initial_conflict_batch(df["NAME_X"].tolist(), df["NAME_Y"].tolist())
+    neg_conflicted = ((df["label"] == 0) & (conf >= 1)).sum()
+    assert neg_conflicted >= 20, "family (h) rows missing"
+    # (g)'s initial-form positives must all stay conflict-free, or the
+    # two families become inseparable and reference F1 pays for it
+    pos_conflicted = df[(df["label"] == 1) & (conf >= 1)]
+    assert len(pos_conflicted) == 0, pos_conflicted.head().to_dict("records")
