@@ -161,19 +161,36 @@ def score_pairs(
         cols += [F.col("_s.cosine_sim").alias("cosine_sim"),
                  F.col("_s.align_edit").alias("align_edit"),
                  F.col("_s.token_weakest_link").alias("token_weakest_link")]
+    has_emb = {"emb_x", "emb_y"} <= set(pairs.columns)
+    decision = valid & (prob_raw >= F.lit(threshold))
     # The raw margin always rides along: refinement ladder rungs above
     # prob 0.99 operate where the sigmoid has flattened thousands of
     # edges onto 0.9999+ — the margin still ranks them.
-    cols += [F.col("_s.margin").alias("margin")]
-    has_emb = {"emb_x", "emb_y"} <= set(pairs.columns)
-    decision = valid & (prob_raw >= F.lit(threshold))
+    margin = F.col("_s.margin")
     if has_emb:
         emb_cos = _vec_cosine(F.col("emb_x"), F.col("emb_y"))
         cols += [emb_cos.alias("emb_cosine")]
-        decision = decision | (
-            valid & (F.coalesce(emb_cos, F.lit(-1.0)) >= F.lit(emb_threshold))
-        )
+        emb_hit = valid & (F.coalesce(emb_cos, F.lit(-1.0)) >= F.lit(emb_threshold))
+        decision = decision | emb_hit
+        # An embedding-verified match must CARRY its confidence into the
+        # persisted probability/margin, not just the prediction bit: the
+        # clustering refinement ladder ranks edges by probability (and by
+        # raw margin above 0.999), so a zero-lexical-overlap match left at
+        # its string probability (~0.0) dies at the FIRST rung whenever
+        # its component needs refinement — measured as 0.0 injected-alias
+        # recall at the 10k fixture before this lift.  The lifted value is
+        # the embedding cosine itself (capped into the emb-rule region),
+        # and the margin is its logit, so emb-verified edges rank among
+        # themselves by vector agreement.
+        lifted = F.greatest(prob_raw, emb_cos)
+        prob = F.when(emb_hit, F.round(lifted, 4)).otherwise(prob)
+        safe = F.least(lifted, F.lit(1.0 - 1e-9))
+        margin = F.when(
+            emb_hit,
+            F.greatest(margin, F.log(safe / (F.lit(1.0) - safe))),
+        ).otherwise(margin)
     cols += [
+        margin.alias("margin"),
         prob.alias("probability"),
         F.when(decision, F.lit(1)).otherwise(F.lit(0)).alias("prediction"),
     ]

@@ -77,22 +77,38 @@ def main() -> None:
         try:
             pipe = EntityResolutionPipeline(spark, wh, keep_features=True)
             stages = pipe.run(transcripts)
-            cand = stages["candidate_pairs"].toPandas()
-            cand["cand"] = True
-            # project BEFORE collecting: the full keep_features frame at
-            # 100k exceeds spark.driver.maxResultSize
+            # join in SPARK and collect only the truth-pair-sized result:
+            # even the bare candidate-pairs table at 100k crosses
+            # spark.driver.maxResultSize (measured 1.05 GiB)
+            tp_sdf = spark.createDataFrame(tp)
+            cand = stages["candidate_pairs"].withColumn("cand", F.lit(True))
             scored = stages["scored_pairs"].select(
                 "name_x", "name_y", "prediction", "probability",
                 "cosine_sim", "align_edit", "token_weakest_link",
                 "token_set_ratio", "ratio",
+            )
+            comp = stages["components"]
+            df = (
+                tp_sdf.join(cand, ["name_x", "name_y"], "left")
+                .join(scored, ["name_x", "name_y"], "left")
+                .join(
+                    comp.select(
+                        F.col("name").alias("name_x"), F.col("component").alias("cx")
+                    ),
+                    "name_x",
+                    "left",
+                )
+                .join(
+                    comp.select(
+                        F.col("name").alias("name_y"), F.col("component").alias("cy")
+                    ),
+                    "name_y",
+                    "left",
+                )
             ).toPandas()
-            comp = stages["components"].toPandas().set_index("name")["component"]
-
-            df = tp.merge(cand, on=["name_x", "name_y"], how="left")
             df["cand"] = df["cand"].fillna(False)
-            df = df.merge(scored, on=["name_x", "name_y"], how="left")
-            df["cx"] = df["name_x"].map(comp).fillna(df["name_x"])
-            df["cy"] = df["name_y"].map(comp).fillna(df["name_y"])
+            df["cx"] = df["cx"].fillna(df["name_x"])
+            df["cy"] = df["cy"].fillna(df["name_y"])
             df["recalled"] = df["cx"] == df["cy"]
             df["matched"] = df["prediction"].fillna(0).astype(int) == 1
             twl = df.get("token_weakest_link")

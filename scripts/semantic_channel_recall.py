@@ -8,9 +8,11 @@ Protocol
 --------
 * Take the 10k-entity bench fixture (the same one er_quality_at_scale.py
   uses).  Inject one extra conversation for every 50th entity whose name
-  is a synthetic CODENAME with zero token overlap against every real
-  alias of that entity ("ZQ<code>V XW<code>J") — the shape string
-  blocking can never recover (no shared tokens, phonetics, or shingles).
+  is a synthetic CODENAME (two 10-letter eid-seeded random tokens) with
+  zero token overlap against every real alias of that entity — the shape
+  string blocking can never recover (no shared tokens, phonetics, or
+  shingles), and structurally divergent so codenames never string-match
+  EACH OTHER (a shared template measured 796 codename-codename matches).
 * Synthesize a deterministic embedding per distinct normalized name:
   unit(gauss(seed=entity) + 0.03 * gauss(seed=name)).  Same-entity names
   land at cosine ~0.999, cross-entity at ~N(0, 1/sqrt(32)) — a stand-in
@@ -49,19 +51,17 @@ DIM = 32
 INJECT_EVERY = 50
 
 
-def _base26(n: int) -> str:
-    s = ""
-    n = int(n)
-    while True:
-        s = chr(65 + n % 26) + s
-        n //= 26
-        if n == 0:
-            return s
-
-
 def _codename(eid: int) -> str:
-    code = _base26(eid)
-    return f"ZQ{code}V XW{code}J"
+    """Two 10-letter tokens drawn from an eid-seeded rng: structurally
+    divergent codenames.  A shared template ("ZQ<code>V XW<code>J") looks
+    typo-shaped to the string scorer — measured 796 codename-codename
+    string matches gluing all 200 injections into one mega-web, which is
+    a property of the probe, not the channel."""
+    rng = np.random.default_rng(eid * 7_919 + 13)
+    letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    t1 = "".join(letters[i] for i in rng.integers(0, 26, size=10))
+    t2 = "".join(letters[i] for i in rng.integers(0, 26, size=10))
+    return f"{t1} {t2}"
 
 
 def _name_vec(eid: int, name: str) -> list[float]:

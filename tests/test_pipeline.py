@@ -294,12 +294,22 @@ def test_embedding_channel_scorer_or_rule(spark):
         rows, "name_x string, name_y string, emb_x array<double>, emb_y array<double>"
     )
     scored = {
-        (r["name_x"], r["name_y"]): (r["prediction"], r["emb_cosine"])
+        (r["name_x"], r["name_y"]): (
+            r["prediction"], r["emb_cosine"], r["probability"], r["margin"]
+        )
         for r in score_pairs(pairs, model.to_json(), tfidf.to_json()).collect()
     }
-    pred, cos = scored[("IBM", "INTERNATIONAL BUSINESS MACHINES")]
+    pred, cos, prob, margin = scored[("IBM", "INTERNATIONAL BUSINESS MACHINES")]
     assert pred == 1 and cos > 0.99
+    # The emb-verified match CARRIES its confidence: probability lifts to
+    # the embedding cosine and margin to its logit, so the clustering
+    # refinement ladder (which ranks by probability / raw margin) never
+    # cuts a zero-lexical-overlap match at the first rung.
+    assert prob >= 0.99, prob
+    assert margin > 2.0, margin
     assert scored[("IBM", "APEX LOGISTICS")][0] == 0
+    # a non-qualifying pair keeps its string probability untouched
+    assert scored[("IBM", "APEX LOGISTICS")][2] <= 0.85
     assert scored[("IBM", "NO VECTOR CORP")][0] == 0  # NULL vec: string path
     # without the columns: byte-identical legacy behavior, no emb_cosine
     plain = score_pairs(
