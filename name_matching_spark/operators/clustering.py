@@ -743,35 +743,44 @@ def _subsumption_aware_driver(
 EVIDENCE_MIN_COSINE = 0.05
 EVIDENCE_MAX_ALIGN = 1.0
 
-# Anchors for the scale-adaptive ladder cap: the two-fixture knob sweep
-# (scripts/cluster_knob_sweep.py, BENCH/QUALITY.md item 8) under the
-# singleton re-attach measured pair-F1-best caps of 4 at 30,988 distinct
-# names (10k entities) and 6 at 306,572 names (100k entities) — recall
-# is cap-invariant there, so the cap buys precision, and the ambiguity
-# webs that need ladder room before Louvain densify with corpus size.
-AUTO_CAP_ANCHOR_NAMES = 31_000
-AUTO_CAP_ANCHOR = 4
-AUTO_CAP_PER_DECADE = 2.0
-AUTO_CAP_MAX = 8
+# Anchors for the scale-adaptive ladder cap: the THREE-fixture knob sweep
+# (scripts/cluster_knob_sweep.py, BENCH/QUALITY.md) under the round-5
+# scorer measured pair-F1-best caps of 4 at 30,988 distinct names (10k
+# entities), 6 at 306,572 (100k) and ~12 at 927,401 (300k; flat plateau
+# 10-16) — recall is cap-invariant at every scale (the attach recovers
+# whatever a tighter cap sheds), so the cap buys precision, and the
+# ambiguity webs that need ladder room before Louvain densify
+# SUPER-log-linearly with corpus size (6 -> 12 across the last half
+# decade).  Piecewise log-linear through the anchors; past the largest
+# measured corpus the last segment extrapolates but clamps at 16, the
+# largest cap actually measured (still on the plateau).
+AUTO_CAP_ANCHORS = ((31_000, 4.0), (307_000, 6.0), (927_000, 12.0))
+AUTO_CAP_MAX = 16
 
 
 def resolve_auto_cap(n_names: int) -> int:
-    """Scale-adaptive refinement ladder cap from the distinct-name count.
-
-    Log-linear through the two measured sweep optima (cap 4 at ~31k
-    names, cap 6 at ~307k — see AUTO_CAP_* above), floored at the small
-    anchor and ceilinged at 8 (one decade of extrapolation past the
-    largest measured corpus; growth beyond that is asserted, not
-    measured, so it stops).  Used when the pipeline is constructed with
-    ``refine_max_component="auto"``.
-    """
+    """Scale-adaptive refinement ladder cap from the distinct-name count:
+    piecewise log-linear through the three measured sweep optima (see
+    AUTO_CAP_ANCHORS), floored at the smallest anchor and ceilinged at
+    the largest measured cap.  The pipeline default
+    (``refine_max_component="auto"``) resolves through this."""
     import math
 
     n = max(int(n_names), 1)
-    cap = AUTO_CAP_ANCHOR + AUTO_CAP_PER_DECADE * math.log10(
-        n / AUTO_CAP_ANCHOR_NAMES
-    )
-    return max(AUTO_CAP_ANCHOR, min(AUTO_CAP_MAX, round(cap)))
+    (n0, c0) = AUTO_CAP_ANCHORS[0]
+    if n <= n0:
+        return int(c0)
+    cap = c0
+    for (n1, c1) in AUTO_CAP_ANCHORS[1:]:
+        if n <= n1:
+            f = math.log10(n / n0) / math.log10(n1 / n0)
+            return max(int(AUTO_CAP_ANCHORS[0][1]), round(c0 + f * (c1 - c0)))
+        n0, c0, cap = n1, c1, c1
+    # extrapolate the LAST segment's slope, clamped at the measured max
+    (na, ca), (nb, cb) = AUTO_CAP_ANCHORS[-2], AUTO_CAP_ANCHORS[-1]
+    slope = (cb - ca) / math.log10(nb / na)
+    cap = cb + slope * math.log10(n / nb)
+    return min(AUTO_CAP_MAX, round(cap))
 
 
 def refined_components(

@@ -58,7 +58,7 @@ class EntityResolutionPipeline:
         run_id: str | None = None,
         keep_features: bool = False,
         clustering: str = "cc",
-        refine_max_component: int | str | None = 5,
+        refine_max_component: int | str | None = "auto",
         refine_ladder: tuple[float, ...] = (0.92, 0.96, 0.99, 0.995, 0.999),
         refine_evidence_min_size: int | None = 2,
         tfidf_mode: str = "adaptive",
@@ -77,16 +77,16 @@ class EntityResolutionPipeline:
         # on their internal edges up the threshold ladder (clustering.py:
         # refined_components) — the guard against transitive mega-merges at
         # corpus scale.  None disables (pure CC at the base threshold).
-        # Defaults from the measured 10k+100k sweeps
-        # (scripts/cluster_knob_sweep.py, BENCH/QUALITY.md): 5 ~ the alias
-        # fan-out of one entity, so anything larger faces the ladder (cap 5
-        # Pareto-beats 6 at both scales; 4 wins 10k but regresses 100k
-        # precision); the 0.995/0.999 rungs exploit the scorer's near-1.0
-        # calibration on true alias pairs (TP median prob 1.000 vs FP 0.951).
-        # "auto" derives the cap from the corpus's distinct-name count at
-        # run time (clustering.resolve_auto_cap): the sweep optimum moves
-        # 4 -> 6 across the 31k -> 307k-name fixtures, so larger corpora
-        # get more ladder room before Louvain.
+        # Default "auto" derives the cap from the corpus's distinct-name
+        # count at run time (clustering.resolve_auto_cap): the three-scale
+        # sweep under the round-5 scorer (scripts/cluster_knob_sweep.py,
+        # BENCH/QUALITY.md) measured F1-best caps of 4 / 6 / ~12 at
+        # 31k / 307k / 927k distinct names with recall cap-INVARIANT at
+        # every scale, so a fixed cap is Pareto-dominated at every scale
+        # by the resolved one (at 927k names, fixed 5 costs 12.6 F1
+        # points).  The 0.995/0.999 rungs exploit the scorer's near-1.0
+        # calibration on true alias pairs (TP median prob 1.000 vs FP
+        # 0.951).
         if isinstance(refine_max_component, str) and refine_max_component != "auto":
             raise ValueError(
                 "refine_max_component must be an int, None, or the string "

@@ -362,16 +362,18 @@ def test_singleton_reattach_unanimous_evidence(spark):
 
 
 def test_resolve_auto_cap_rule():
-    """Scale-adaptive ladder cap: log-linear through the two sweep optima
-    (cap 4 at ~31k distinct names, cap 6 at ~307k — BENCH/QUALITY.md
-    item 8), floored at 4, ceilinged at 8 one decade past measurement."""
+    """Scale-adaptive ladder cap: piecewise log-linear through the THREE
+    sweep optima (cap 4 at ~31k distinct names, 6 at ~307k, 12 at ~927k —
+    BENCH/QUALITY.md), floored at 4, clamped at 16 (the largest measured
+    cap) past the last anchor."""
     from name_matching_spark.operators.clustering import resolve_auto_cap
 
-    assert resolve_auto_cap(30_988) == 4   # 10k-entity fixture anchor
-    assert resolve_auto_cap(306_572) == 6  # 100k-entity fixture anchor
-    assert resolve_auto_cap(98_000) == 5   # geometric midpoint
-    assert resolve_auto_cap(1) == 4        # tiny corpora floor at the anchor
-    assert resolve_auto_cap(10**9) == 8    # extrapolation stops at 8
+    assert resolve_auto_cap(30_988) == 4    # 10k-entity fixture anchor
+    assert resolve_auto_cap(306_572) == 6   # 100k-entity fixture anchor
+    assert resolve_auto_cap(927_401) == 12  # 300k-entity fixture anchor
+    assert resolve_auto_cap(98_000) == 5    # geometric midpoint of segment 1
+    assert resolve_auto_cap(1) == 4         # tiny corpora floor at the anchor
+    assert resolve_auto_cap(10**9) == 16    # extrapolation clamps at 16
     caps = [resolve_auto_cap(n) for n in (10, 10**4, 10**5, 10**6, 10**8)]
     assert caps == sorted(caps)
 
