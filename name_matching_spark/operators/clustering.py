@@ -743,7 +743,8 @@ def _subsumption_aware_driver(
 EVIDENCE_MIN_COSINE = 0.05
 EVIDENCE_MAX_ALIGN = 1.0
 
-# Anchors for the scale-adaptive ladder cap: the THREE-fixture knob sweep
+# Anchors for the scale-adaptive ladder cap under a SHORT ladder (no
+# margin rung above MARGIN_RUNG_MIN_PROB): the THREE-fixture knob sweep
 # (scripts/cluster_knob_sweep.py, BENCH/QUALITY.md) under the round-5
 # scorer measured pair-F1-best caps of 4 at 30,988 distinct names (10k
 # entities), 6 at 306,572 (100k) and ~12 at 927,401 (300k; flat plateau
@@ -756,16 +757,32 @@ EVIDENCE_MAX_ALIGN = 1.0
 # largest cap actually measured (still on the plateau).
 AUTO_CAP_ANCHORS = ((31_000, 4.0), (307_000, 6.0), (927_000, 12.0))
 AUTO_CAP_MAX = 16
+# Under a MARGIN-RUNG ladder (any rung above MARGIN_RUNG_MIN_PROB — the
+# pipeline default ends in 0.9999/0.99999) the same three-scale sweep
+# measures the F1-best cap as SCALE-INVARIANT at 4, ~ one entity's alias
+# fan-out (10k: 4 beats 2,3,5,6; 100k: 4 beats 3,5,6; 300k: 4 beats
+# 3,5,6,8,12,16 — F1 .852/.734/.763 vs the short-ladder adaptive cap's
+# .851/.720/.704).  The margin rungs rank inside the probability-
+# saturated webs that previously needed extra cap room, so the
+# scale-dependence collapses to the constant.
+AUTO_CAP_MARGIN_LADDER = 4
 
 
-def resolve_auto_cap(n_names: int) -> int:
-    """Scale-adaptive refinement ladder cap from the distinct-name count:
-    piecewise log-linear through the three measured sweep optima (see
+def resolve_auto_cap(n_names: int, ladder: tuple[float, ...] | None = None) -> int:
+    """Scale-adaptive refinement ladder cap.
+
+    With a margin-rung ``ladder`` (any rung above
+    :data:`MARGIN_RUNG_MIN_PROB` — the pipeline default) the measured
+    optimum is scale-invariant: returns :data:`AUTO_CAP_MARGIN_LADDER`.
+    Otherwise (legacy short ladder, or no ladder supplied) piecewise
+    log-linear through the three short-ladder sweep optima (see
     AUTO_CAP_ANCHORS), floored at the smallest anchor and ceilinged at
     the largest measured cap.  The pipeline default
     (``refine_max_component="auto"``) resolves through this."""
     import math
 
+    if ladder and any(t > MARGIN_RUNG_MIN_PROB for t in ladder):
+        return AUTO_CAP_MARGIN_LADDER
     n = max(int(n_names), 1)
     (n0, c0) = AUTO_CAP_ANCHORS[0]
     if n <= n0:

@@ -59,7 +59,9 @@ class EntityResolutionPipeline:
         keep_features: bool = False,
         clustering: str = "cc",
         refine_max_component: int | str | None = "auto",
-        refine_ladder: tuple[float, ...] = (0.92, 0.96, 0.99, 0.995, 0.999),
+        refine_ladder: tuple[float, ...] = (
+            0.92, 0.96, 0.99, 0.995, 0.999, 0.9999, 0.99999,
+        ),
         refine_evidence_min_size: int | None = 2,
         tfidf_mode: str = "adaptive",
         tfidf_n_buckets: int = 1 << 20,
@@ -78,15 +80,20 @@ class EntityResolutionPipeline:
         # refined_components) — the guard against transitive mega-merges at
         # corpus scale.  None disables (pure CC at the base threshold).
         # Default "auto" derives the cap from the corpus's distinct-name
-        # count at run time (clustering.resolve_auto_cap): the three-scale
-        # sweep under the round-5 scorer (scripts/cluster_knob_sweep.py,
-        # BENCH/QUALITY.md) measured F1-best caps of 4 / 6 / ~12 at
-        # 31k / 307k / 927k distinct names with recall cap-INVARIANT at
-        # every scale, so a fixed cap is Pareto-dominated at every scale
-        # by the resolved one (at 927k names, fixed 5 costs 12.6 F1
-        # points).  The 0.995/0.999 rungs exploit the scorer's near-1.0
-        # calibration on true alias pairs (TP median prob 1.000 vs FP
-        # 0.951).
+        # count AND the ladder shape (clustering.resolve_auto_cap).  The
+        # default LADDER now ends in two margin rungs (0.9999 / 0.99999 —
+        # above 0.999 a rung compares the GBM's raw log-odds margin against
+        # logit(t), because the 4dp probability saturates there), and under
+        # it the three-scale sweep (scripts/cluster_knob_sweep.py,
+        # BENCH/QUALITY.md) measures the F1-best cap as SCALE-INVARIANT at
+        # 4 (~ one entity's alias fan-out): F1 .852/.734/.763 at
+        # 31k/307k/927k distinct names vs .851/.720/.704 for the previous
+        # short-ladder scale-adaptive cap — the margin rungs buy the
+        # discriminating power that larger caps used to.  With a legacy
+        # short ladder (no rung above 0.999) "auto" falls back to the
+        # piecewise log-linear anchors measured for it (4/6/~12).  Recall
+        # is cap-invariant at every scale (the attach recovers whatever a
+        # tighter cap sheds), so the cap buys precision only.
         if isinstance(refine_max_component, str) and refine_max_component != "auto":
             raise ValueError(
                 "refine_max_component must be an int, None, or the string "
@@ -365,7 +372,7 @@ class EntityResolutionPipeline:
             else:
                 from name_matching_spark.operators.clustering import resolve_auto_cap
 
-                refine_cap = resolve_auto_cap(names.count())
+                refine_cap = resolve_auto_cap(names.count(), self.refine_ladder)
         if self.clustering == "louvain":
             from name_matching_spark.operators.louvain import louvain_communities
 

@@ -362,10 +362,12 @@ def test_singleton_reattach_unanimous_evidence(spark):
 
 
 def test_resolve_auto_cap_rule():
-    """Scale-adaptive ladder cap: piecewise log-linear through the THREE
-    sweep optima (cap 4 at ~31k distinct names, 6 at ~307k, 12 at ~927k —
-    BENCH/QUALITY.md), floored at 4, clamped at 16 (the largest measured
-    cap) past the last anchor."""
+    """Scale-adaptive ladder cap.  SHORT (legacy) ladder: piecewise
+    log-linear through the THREE sweep optima (cap 4 at ~31k distinct
+    names, 6 at ~307k, 12 at ~927k — BENCH/QUALITY.md), floored at 4,
+    clamped at 16 (the largest measured cap) past the last anchor.
+    MARGIN-RUNG ladder (the pipeline default, rungs above 0.999): the
+    same sweep measures the optimum as scale-invariant at 4."""
     from name_matching_spark.operators.clustering import resolve_auto_cap
 
     assert resolve_auto_cap(30_988) == 4    # 10k-entity fixture anchor
@@ -376,6 +378,22 @@ def test_resolve_auto_cap_rule():
     assert resolve_auto_cap(10**9) == 16    # extrapolation clamps at 16
     caps = [resolve_auto_cap(n) for n in (10, 10**4, 10**5, 10**6, 10**8)]
     assert caps == sorted(caps)
+    # short ladder passed explicitly behaves like no ladder
+    short = (0.92, 0.96, 0.99, 0.995, 0.999)
+    assert resolve_auto_cap(306_572, short) == 6
+    # margin-rung ladder: scale-invariant cap 4 at every measured scale
+    ext = short + (0.9999, 0.99999)
+    assert [resolve_auto_cap(n, ext) for n in (1, 30_988, 306_572, 927_401, 10**9)] == [4] * 5
+
+    from name_matching_spark.pipeline import EntityResolutionPipeline
+    import inspect
+
+    default_ladder = inspect.signature(EntityResolutionPipeline).parameters[
+        "refine_ladder"
+    ].default
+    assert any(t > 0.999 for t in default_ladder), (
+        "pipeline default ladder is expected to carry margin rungs"
+    )
 
 
 @pytest.mark.slow
