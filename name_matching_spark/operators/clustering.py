@@ -355,6 +355,7 @@ def attach_subsumed(
     evidence_min_cosine: float | None = None,
     evidence_max_align: float | None = None,
     singleton_attach: bool = True,
+    glue_edges: DataFrame | None = None,
 ) -> DataFrame:
     """Post-clustering attachment of subsumption-only names.
 
@@ -392,23 +393,31 @@ def attach_subsumed(
     has_cos = "cosine_sim" in sub_edges.columns
     has_al = "align_edit" in sub_edges.columns
     null_d = F.lit(None).cast("double")
-    ev_cols = [
-        (F.col("cosine_sim") if has_cos else null_d).alias("c"),
-        (F.col("align_edit") if has_al else null_d).alias("al"),
-        (F.col("margin") if "margin" in sub_edges.columns else null_d).alias(
-            "mg"
-        ),
-    ]
 
-    def _side(a: str, b: str) -> DataFrame:
-        return sub_edges.select(
+    def _side(frame: DataFrame, a: str, b: str) -> DataFrame:
+        cols = frame.columns
+        return frame.select(
             F.col(a).alias("name"),
             F.col(b).alias("other"),
             F.col(prob_col).alias("p"),
-            *ev_cols,
+            (F.col("cosine_sim") if "cosine_sim" in cols else null_d).alias("c"),
+            (F.col("align_edit") if "align_edit" in cols else null_d).alias("al"),
+            (F.col("margin") if "margin" in cols else null_d).alias("mg"),
         )
 
-    e = _side(src, dst).unionByName(_side(dst, src)).localCheckpoint()
+    e = _side(sub_edges, src, dst).unionByName(
+        _side(sub_edges, dst, src)
+    ).localCheckpoint()
+    # Optional second vote pool for GLUE singletons (driver twin: gadj) —
+    # evidence-bearing glue edges a refinement rung cut participate in the
+    # unanimity vote alongside the subsumption edges.
+    ge = (
+        _side(glue_edges, src, dst)
+        .unionByName(_side(glue_edges, dst, src))
+        .localCheckpoint()
+        if glue_edges is not None
+        else None
+    )
     # NULL-safe disjunction (a NULL side never qualifies), byte-matching
     # the driver twin's `_ev`; with no evidence columns or thresholds at
     # all the gate is inert (every edge votes).
@@ -460,9 +469,27 @@ def attach_subsumed(
             )
         )
         if singleton_attach:
+            sing_pool = cand.where(F.col("_sing") & ev_cond).select("name", "_tc")
+            if ge is not None:
+                # glue singletons whose evidence-bearing GLUE edges reach
+                # anchored partners vote too (driver twin: gadj); every
+                # glue endpoint is in comp by construction, so _sing is
+                # implied — the anti-join against anchored suffices.
+                gcand = (
+                    ge.join(anchored.select("name"), "name", "left_anti")
+                    .join(
+                        anchored.select(
+                            F.col("name").alias("other"),
+                            F.col("component").alias("_tc"),
+                        ),
+                        "other",
+                    )
+                    .where(ev_cond)
+                    .select("name", "_tc")
+                )
+                sing_pool = sing_pool.unionByName(gcand)
             sing_best = (
-                cand.where(F.col("_sing") & ev_cond)
-                .groupBy("name")
+                sing_pool.groupBy("name")
                 .agg(
                     F.count_distinct("_tc").alias("_k"),
                     F.min("_tc").alias("component"),
@@ -480,10 +507,13 @@ def attach_subsumed(
             .unionByName(best)
             .localCheckpoint()
         )
-    try:
-        e.unpersist()
-    except Exception:
-        pass
+    for frame in (e, ge):
+        if frame is None:
+            continue
+        try:
+            frame.unpersist()
+        except Exception:
+            pass
     return comp
 
 
@@ -503,6 +533,7 @@ def subsumption_aware_components(
     prob_col: str = "probability",
     attach_rounds: int = 3,
     singleton_attach: bool = True,
+    singleton_vote_glue: bool = False,
     **refine_kw,
 ) -> DataFrame:
     """The full subsumption-aware clustering composition:
@@ -570,6 +601,7 @@ def subsumption_aware_components(
             evidence_min_size=refine_kw.get("evidence_min_size"),
             attach_rounds=attach_rounds,
             singleton_attach=singleton_attach,
+            singleton_vote_glue=singleton_vote_glue,
         )
         from pyspark.sql.types import StructField, StructType
 
@@ -596,6 +628,7 @@ def subsumption_aware_components(
         ),
         evidence_max_align=refine_kw.get("evidence_max_align", EVIDENCE_MAX_ALIGN),
         singleton_attach=singleton_attach,
+        glue_edges=glue if singleton_vote_glue else None,
     )
     # Mutual-floater families: subsumption edges both of whose endpoints
     # stayed un-anchored through every attach round (comp-absent OR glue
@@ -637,6 +670,7 @@ def _subsumption_aware_driver(
     attach_rounds: int,
     evidence_min_size: int | None = None,
     singleton_attach: bool = True,
+    singleton_vote_glue: bool = False,
 ) -> dict:
     """Driver twin of the distributed composition.  ``rows``:
     (src, dst, p, cosine, align, twl, margin) tuples, self-loops
@@ -677,18 +711,32 @@ def _subsumption_aware_driver(
     for a, b, p, c, al, mg in sub:
         adj[a].append((p, b, c, al, mg))
         adj[b].append((p, a, c, al, mg))
+    # Optional second vote pool for GLUE singletons: a name a refinement
+    # rung isolated can sit one evidence-bearing GLUE edge (not just a
+    # subsumption edge) away from its entity's cluster — e.g. a token-swap
+    # typo pair cut by a margin rung inside an oversized web.  The vote
+    # stays UNANIMOUS over the union of both pools: conflicting evidence
+    # (sub pointing one way, glue another) is genuine ambiguity → abstain.
+    gadj: dict = defaultdict(list)
+    if singleton_vote_glue:
+        for a, b, p, c, al, mg in glue:
+            gadj[a].append((p, b, c, al, mg))
+            gadj[b].append((p, a, c, al, mg))
     _NEG_INF = float("-inf")
     for _ in range(max(attach_rounds, 1)):
         anc = anchored_names(comp)
         newly = {}
-        for n, lst in adj.items():
+        vote_names = set(adj) | set(gadj)
+        for n in vote_names:
+            lst = adj.get(n, [])
             if n in anc:
                 continue
             if n in comp:  # glue singleton: unanimity over evidence edges
                 if singleton_attach:
+                    pool = lst + gadj.get(n, [])
                     tcs = {
                         comp[o]
-                        for p, o, c, al, mg in lst
+                        for p, o, c, al, mg in pool
                         if o in anc and _ev(c, al)
                     }
                     if len(tcs) == 1:

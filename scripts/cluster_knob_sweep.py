@@ -69,14 +69,18 @@ def main() -> None:
         _LM3 = _L + (0.9999, 0.99999, 0.999999)
         if len(sys.argv) > 2:
             # cap-only sweep: `python scripts/cluster_knob_sweep.py 300000 5,6,7,8
-            # [lm2]` — optional third arg switches to the margin-rung ladder
-            # (the third-scale-point validation of refine_max_component
+            # [lm2|lm2vg]` — optional third arg switches to the margin-rung
+            # ladder (the third-scale-point validation of refine_max_component
             # ="auto" — VERDICT r4 item 7; lm2 re-anchors it for round 5's
-            # extended default)
-            lad = _LM2 if len(sys.argv) > 3 and sys.argv[3] == "lm2" else _L
+            # extended default); the "vg" suffix additionally turns on the
+            # glue-edge singleton unanimity vote (singleton_vote_glue).
+            mode = sys.argv[3] if len(sys.argv) > 3 else ""
+            lad = _LM2 if mode.startswith("lm2") else _L
+            vg = mode.endswith("vg")
             grid = [
                 {"max_component": int(c), "ladder": lad, "subsume": True,
-                 "evidence_min_size": 2}
+                 "evidence_min_size": 2,
+                 **({"singleton_vote_glue": True} if vg else {})}
                 for c in sys.argv[2].split(",")
             ]
         else:

@@ -361,6 +361,60 @@ def test_singleton_reattach_unanimous_evidence(spark):
     assert fast["T"] == "T" and fast["U"] == "U"
 
 
+def test_singleton_vote_glue_reattach(spark):
+    """singleton_vote_glue=True (opt-in): a glue singleton isolated by a
+    rung may re-attach via its evidence-bearing GLUE edges — unanimity
+    over the union of sub + glue evidence edges; conflicting targets
+    still abstain; default-off output is byte-identical without it."""
+    from name_matching_spark.operators.clustering import (
+        subsumption_aware_components,
+    )
+
+    rows = []
+    # anchored cliques A and B (strong glue, margin above every rung)
+    for grp in ("A", "B"):
+        for i in range(3):
+            for j in range(i + 1, 3):
+                rows.append((f"{grp}{i}", f"{grp}{j}", 1.0, 0.5, 0.0, 0.9, 20.0))
+    # S: margin rung isolates it (margin 7 < logit(0.9999)=9.21) but both
+    # its glue edges carry near-exact evidence (align<=1) into clique A
+    rows.append(("A0", "S", 0.999, 0.0, 1.0, 0.9, 7.0))
+    rows.append(("A1", "S", 0.999, 0.0, 1.0, 0.9, 7.0))
+    # V: same shape but evidence edges point into BOTH cliques -> abstain
+    rows.append(("A0", "V", 0.999, 0.0, 1.0, 0.9, 7.0))
+    rows.append(("B0", "V", 0.999, 0.0, 1.0, 0.9, 7.0))
+    # W: isolated with an evidence-FREE glue edge only -> no vote
+    rows.append(("A0", "W", 0.999, 0.0, 4.0, 0.9, 7.0))
+    m = spark.createDataFrame(
+        rows,
+        "src string, dst string, probability double, cosine_sim double, "
+        "align_edit double, token_weakest_link double, margin double",
+    )
+    kw = dict(
+        max_component=3,
+        ladder=(0.92, 0.96, 0.99, 0.995, 0.999, 0.9999, 0.99999),
+        evidence_min_size=2,
+    )
+    for vg in (False, True):
+        fast = {
+            r["name"]: r["component"]
+            for r in subsumption_aware_components(
+                m, singleton_vote_glue=vg, **kw
+            ).collect()
+        }
+        dist = {
+            r["name"]: r["component"]
+            for r in subsumption_aware_components(
+                m, singleton_vote_glue=vg, driver_max_edges=0, **kw
+            ).collect()
+        }
+        assert fast == dist
+        assert fast["A0"] == fast["A1"] == fast["A2"]
+        assert fast["B0"] == fast["B1"] == fast["B2"] != fast["A0"]
+        assert fast["V"] == "V" and fast["W"] == "W"
+        assert fast["S"] == (fast["A0"] if vg else "S")
+
+
 def test_resolve_auto_cap_rule():
     """Scale-adaptive ladder cap.  SHORT (legacy) ladder: piecewise
     log-linear through the THREE sweep optima (cap 4 at ~31k distinct
