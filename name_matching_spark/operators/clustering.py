@@ -469,7 +469,9 @@ def attach_subsumed(
             )
         )
         if singleton_attach:
-            sing_pool = cand.where(F.col("_sing") & ev_cond).select("name", "_tc")
+            sing_pool = cand.where(F.col("_sing") & ev_cond).select(
+                "name", "other", "_tc", F.lit(1).alias("_sub")
+            )
             if ge is not None:
                 # glue singletons whose evidence-bearing GLUE edges reach
                 # anchored partners vote too (driver twin: gadj); every
@@ -485,16 +487,30 @@ def attach_subsumed(
                         "other",
                     )
                     .where(ev_cond)
-                    .select("name", "_tc")
+                    .select("name", "other", "_tc", F.lit(0).alias("_sub"))
                 )
                 sing_pool = sing_pool.unionByName(gcand)
+            # Unanimity over the union pool, PLUS a minimum-vote rule on
+            # glue-only votes: a single evidence-bearing glue edge is
+            # trivially "unanimous" (the measured FP mode of the first
+            # glue-vote sweep) — require either one subsumption edge (the
+            # shipped round-4 semantics, unchanged) or >= 2 DISTINCT
+            # anchored glue partners agreeing (driver twin: the sub_t /
+            # glue_partners split).
             sing_best = (
                 sing_pool.groupBy("name")
                 .agg(
                     F.count_distinct("_tc").alias("_k"),
+                    F.max("_sub").alias("_ns"),
+                    F.count_distinct(
+                        F.when(F.col("_sub") == 0, F.col("other"))
+                    ).alias("_ng"),
                     F.min("_tc").alias("component"),
                 )
-                .where(F.col("_k") == 1)
+                .where(
+                    (F.col("_k") == 1)
+                    & ((F.col("_ns") == 1) | (F.col("_ng") >= 2))
+                )
                 .select("name", "component")
             )
             best = absent_best.unionByName(sing_best)
@@ -533,7 +549,7 @@ def subsumption_aware_components(
     prob_col: str = "probability",
     attach_rounds: int = 3,
     singleton_attach: bool = True,
-    singleton_vote_glue: bool = False,
+    singleton_vote_glue: bool = True,
     **refine_kw,
 ) -> DataFrame:
     """The full subsumption-aware clustering composition:
@@ -554,6 +570,13 @@ def subsumption_aware_components(
     pair precision at 0.66 where gluing subsumption edges collapses to
     0.13 (800-name initial-form welds); at small scale step 3 restores
     the isolated-family recall that attachment alone loses.
+
+    ``singleton_vote_glue`` (default on) widens the step-2 singleton
+    re-attach unanimity vote to rung-cut GLUE edges, under a min-vote
+    rule: glue-only votes need >= 2 distinct anchored partners (one FP
+    glue edge is trivially "unanimous" — the measured failure mode of
+    the unguarded vote).  Measured net-positive at all three sweep
+    scales (BENCH/QUALITY.md: 100k F1 .734 -> .743, 300k .763 -> .770).
 
     Size-adaptive like the rest of this module: below ``driver_max_edges``
     the whole composition (split, refine, attach rounds, residual) runs
@@ -670,7 +693,7 @@ def _subsumption_aware_driver(
     attach_rounds: int,
     evidence_min_size: int | None = None,
     singleton_attach: bool = True,
-    singleton_vote_glue: bool = False,
+    singleton_vote_glue: bool = True,
 ) -> dict:
     """Driver twin of the distributed composition.  ``rows``:
     (src, dst, p, cosine, align, twl, margin) tuples, self-loops
@@ -733,13 +756,22 @@ def _subsumption_aware_driver(
                 continue
             if n in comp:  # glue singleton: unanimity over evidence edges
                 if singleton_attach:
-                    pool = lst + gadj.get(n, [])
-                    tcs = {
+                    sub_t = {
                         comp[o]
-                        for p, o, c, al, mg in pool
+                        for p, o, c, al, mg in lst
                         if o in anc and _ev(c, al)
                     }
-                    if len(tcs) == 1:
+                    glue_partners = {
+                        o
+                        for p, o, c, al, mg in gadj.get(n, [])
+                        if o in anc and _ev(c, al)
+                    }
+                    glue_t = {comp[o] for o in glue_partners}
+                    tcs = sub_t | glue_t
+                    # min-vote rule (matches the distributed _ns/_ng agg):
+                    # glue-only votes need >= 2 distinct anchored partners —
+                    # one FP glue edge is trivially "unanimous"
+                    if len(tcs) == 1 and (sub_t or len(glue_partners) >= 2):
                         newly[n] = min(tcs)
                 continue
             best = None

@@ -385,6 +385,9 @@ def test_singleton_vote_glue_reattach(spark):
     rows.append(("B0", "V", 0.999, 0.0, 1.0, 0.9, 7.0))
     # W: isolated with an evidence-FREE glue edge only -> no vote
     rows.append(("A0", "W", 0.999, 0.0, 4.0, 0.9, 7.0))
+    # Y: ONE evidence-bearing glue edge into B — below the min-vote rule
+    # (glue-only votes need >= 2 distinct anchored partners) -> abstain
+    rows.append(("B1", "Y", 0.999, 0.0, 1.0, 0.9, 7.0))
     m = spark.createDataFrame(
         rows,
         "src string, dst string, probability double, cosine_sim double, "
@@ -412,6 +415,7 @@ def test_singleton_vote_glue_reattach(spark):
         assert fast["A0"] == fast["A1"] == fast["A2"]
         assert fast["B0"] == fast["B1"] == fast["B2"] != fast["A0"]
         assert fast["V"] == "V" and fast["W"] == "W"
+        assert fast["Y"] == "Y"
         assert fast["S"] == (fast["A0"] if vg else "S")
 
 
