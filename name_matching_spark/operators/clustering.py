@@ -356,6 +356,7 @@ def attach_subsumed(
     evidence_max_align: float | None = None,
     singleton_attach: bool = True,
     glue_edges: DataFrame | None = None,
+    absent_attach: str = "best",
 ) -> DataFrame:
     """Post-clustering attachment of subsumption-only names.
 
@@ -369,6 +370,12 @@ def attach_subsumed(
     * **comp-absent** (an initial/diminutive form whose every match is
       subsumption): attach to the component of the best-scoring anchored
       partner — highest probability, ties to the smallest component label.
+      With ``absent_attach="vote"`` the key flips to component-level:
+      the target component with the MOST distinct anchored partners wins
+      (then best probability / margin / smallest label) — inside
+      probability-saturated webs a single 1.0000 edge is a coin flip,
+      while the true entity usually anchors several alias forms that all
+      match the floater.
     * **glue singletons** (every glue edge pruned by a refinement rung —
       the name sat inside a confusable web, so its prior of ambiguity is
       exactly why the rung isolated it): attach ONLY on a UNANIMOUS
@@ -451,23 +458,50 @@ def attach_subsumed(
             ),
             "other",
         )
-        absent_best = (
-            cand.where(F.col("_sing").isNull())
-            .groupBy("name")
-            .agg(
-                # probability first, raw margin as the tiebreak (the
-                # 4dp-rounded p ties across saturated webs; a missing
-                # margin sorts last) — byte-matching the driver twin's key
-                F.min_by(
-                    "_tc",
-                    F.struct(
-                        -F.col("p"),
-                        -F.coalesce(F.col("mg"), F.lit(float("-inf"))),
-                        F.col("_tc"),
-                    ),
-                ).alias("component")
+        absent_cand = cand.where(F.col("_sing").isNull())
+        if absent_attach == "vote":
+            # component-level vote: most distinct anchored partners first,
+            # then best p / margin / smallest label — byte-matching the
+            # driver twin's vote key
+            absent_best = (
+                absent_cand.groupBy("name", "_tc")
+                .agg(
+                    F.count_distinct("other").alias("_nv"),
+                    F.max("p").alias("_bp"),
+                    F.max(
+                        F.coalesce(F.col("mg"), F.lit(float("-inf")))
+                    ).alias("_bm"),
+                )
+                .groupBy("name")
+                .agg(
+                    F.min_by(
+                        "_tc",
+                        F.struct(
+                            -F.col("_nv"),
+                            -F.col("_bp"),
+                            -F.col("_bm"),
+                            F.col("_tc"),
+                        ),
+                    ).alias("component")
+                )
             )
-        )
+        else:
+            absent_best = (
+                absent_cand.groupBy("name")
+                .agg(
+                    # probability first, raw margin as the tiebreak (the
+                    # 4dp-rounded p ties across saturated webs; a missing
+                    # margin sorts last) — byte-matching the driver twin's key
+                    F.min_by(
+                        "_tc",
+                        F.struct(
+                            -F.col("p"),
+                            -F.coalesce(F.col("mg"), F.lit(float("-inf"))),
+                            F.col("_tc"),
+                        ),
+                    ).alias("component")
+                )
+            )
         if singleton_attach:
             sing_pool = cand.where(F.col("_sing") & ev_cond).select(
                 "name", "other", "_tc", F.lit(1).alias("_sub")
@@ -550,6 +584,7 @@ def subsumption_aware_components(
     attach_rounds: int = 3,
     singleton_attach: bool = True,
     singleton_vote_glue: bool = True,
+    absent_attach: str = "best",
     **refine_kw,
 ) -> DataFrame:
     """The full subsumption-aware clustering composition:
@@ -625,6 +660,7 @@ def subsumption_aware_components(
             attach_rounds=attach_rounds,
             singleton_attach=singleton_attach,
             singleton_vote_glue=singleton_vote_glue,
+            absent_attach=absent_attach,
         )
         from pyspark.sql.types import StructField, StructType
 
@@ -652,6 +688,7 @@ def subsumption_aware_components(
         evidence_max_align=refine_kw.get("evidence_max_align", EVIDENCE_MAX_ALIGN),
         singleton_attach=singleton_attach,
         glue_edges=glue if singleton_vote_glue else None,
+        absent_attach=absent_attach,
     )
     # Mutual-floater families: subsumption edges both of whose endpoints
     # stayed un-anchored through every attach round (comp-absent OR glue
@@ -694,6 +731,7 @@ def _subsumption_aware_driver(
     evidence_min_size: int | None = None,
     singleton_attach: bool = True,
     singleton_vote_glue: bool = True,
+    absent_attach: str = "best",
 ) -> dict:
     """Driver twin of the distributed composition.  ``rows``:
     (src, dst, p, cosine, align, twl, margin) tuples, self-loops
@@ -773,6 +811,31 @@ def _subsumption_aware_driver(
                     # one FP glue edge is trivially "unanimous"
                     if len(tcs) == 1 and (sub_t or len(glue_partners) >= 2):
                         newly[n] = min(tcs)
+                continue
+            if absent_attach == "vote":
+                # component-level vote (distributed twin: the _nv/_bp/_bm
+                # aggregate): most distinct anchored partners first, then
+                # best p / margin / smallest label
+                per_tc: dict = {}
+                for p, o, c, al, mg in lst:
+                    if o not in anc:
+                        continue
+                    tc = comp[o]
+                    nv, bp, bm, ps = per_tc.get(tc, (0, _NEG_INF, _NEG_INF, set()))
+                    if o not in ps:
+                        ps.add(o)
+                        nv += 1
+                    per_tc[tc] = (
+                        nv,
+                        max(bp, p),
+                        max(bm, mg if mg is not None else _NEG_INF),
+                        ps,
+                    )
+                if per_tc:
+                    newly[n] = min(
+                        (-nv, -bp, -bm, tc)
+                        for tc, (nv, bp, bm, _ps) in per_tc.items()
+                    )[3]
                 continue
             best = None
             for p, o, c, al, mg in lst:

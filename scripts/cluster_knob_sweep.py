@@ -76,11 +76,13 @@ def main() -> None:
             # glue-edge singleton unanimity vote (singleton_vote_glue).
             mode = sys.argv[3] if len(sys.argv) > 3 else ""
             lad = _LM2 if mode.startswith("lm2") else _L
-            vg = mode.endswith("vg")
+            vg = "vg" in mode
+            av = "av" in mode  # absent_attach="vote" (component-level vote)
             grid = [
                 {"max_component": int(c), "ladder": lad, "subsume": True,
                  "evidence_min_size": 2,
-                 **({"singleton_vote_glue": True} if vg else {})}
+                 **({"singleton_vote_glue": True} if vg else {}),
+                 **({"absent_attach": "vote"} if av else {})}
                 for c in sys.argv[2].split(",")
             ]
         else:

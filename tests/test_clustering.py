@@ -419,6 +419,52 @@ def test_singleton_vote_glue_reattach(spark):
         assert fast["S"] == (fast["A0"] if vg else "S")
 
 
+def test_absent_attach_vote(spark):
+    """absent_attach="vote" (opt-in): a comp-absent floater attaches to
+    the component with the MOST distinct anchored partners, not the one
+    best-probability edge — inside probability-saturated webs the single
+    1.0000 edge is a coin flip while the true entity anchors several
+    alias forms.  Driver and distributed paths must agree in both modes;
+    default "best" output is unchanged."""
+    from name_matching_spark.operators.clustering import (
+        subsumption_aware_components,
+    )
+
+    rows = []
+    for grp in ("A", "B"):
+        for i in range(3):
+            for j in range(i + 1, 3):
+                rows.append((f"{grp}{i}", f"{grp}{j}", 1.0, 0.5, 0.0, 0.9, 20.0))
+    # floater F: ONE max-prob sub edge into A, TWO sub edges into B
+    rows.append(("F", "A0", 1.0, 0.0, 4.0, 1.0, 9.0))
+    rows.append(("F", "B0", 0.99, 0.0, 4.0, 1.0, 8.0))
+    rows.append(("F", "B1", 0.99, 0.0, 4.0, 1.0, 8.0))
+    # floater G: single edge either way — both modes pick the best edge
+    rows.append(("G", "A1", 0.98, 0.0, 4.0, 1.0, 7.0))
+    m = spark.createDataFrame(
+        rows,
+        "src string, dst string, probability double, cosine_sim double, "
+        "align_edit double, token_weakest_link double, margin double",
+    )
+    kw = dict(max_component=6, ladder=(0.90, 0.95))
+    for mode, want in (("best", "A0"), ("vote", "B0")):
+        fast = {
+            r["name"]: r["component"]
+            for r in subsumption_aware_components(
+                m, absent_attach=mode, **kw
+            ).collect()
+        }
+        dist = {
+            r["name"]: r["component"]
+            for r in subsumption_aware_components(
+                m, absent_attach=mode, driver_max_edges=0, **kw
+            ).collect()
+        }
+        assert fast == dist
+        assert fast["F"] == fast[want]
+        assert fast["G"] == fast["A1"]
+
+
 def test_resolve_auto_cap_rule():
     """Scale-adaptive ladder cap.  SHORT (legacy) ladder: piecewise
     log-linear through the THREE sweep optima (cap 4 at ~31k distinct
