@@ -245,3 +245,21 @@ def build_features(xs, ys, tfidf: TfidfModel) -> np.ndarray:
         initial_conflict_batch(xs, ys),
     ]
     return np.column_stack(cols)
+
+
+def refit_idf_features(X: np.ndarray, xs, ys, tfidf: TfidfModel) -> np.ndarray:
+    """Copy of a :func:`build_features` matrix with only the three
+    TF-IDF-dependent columns (cosine_sim, shared_max_idf, idf_jaccard)
+    recomputed under a different fitted model.  Everything else in the
+    vector is a pure string function of (x, y), so a corpus-scale
+    re-featurization only needs these three — the training-time
+    domain-randomization path uses this to avoid re-running the
+    edit-distance kernels."""
+    xs = list(xs)
+    ys = list(ys)
+    out = X.copy()
+    out[:, FEATURE_COLS.index("cosine_sim")] = tfidf.cosine_pairs(xs, ys)
+    smi, ijac = idf_evidence_batch(xs, ys, tfidf)
+    out[:, FEATURE_COLS.index("shared_max_idf")] = smi
+    out[:, FEATURE_COLS.index("idf_jaccard")] = ijac
+    return out

@@ -84,10 +84,25 @@ class GBMClassifier:
 
     # -- training -------------------------------------------------------------
 
-    def fit(self, X: np.ndarray, y: np.ndarray, verbose_every: int = 0) -> "GBMClassifier":
+    def fit(
+        self,
+        X: np.ndarray,
+        y: np.ndarray,
+        verbose_every: int = 0,
+        sample_weight: np.ndarray | None = None,
+    ) -> "GBMClassifier":
+        """``sample_weight`` scales each row's gradient/hessian (standard
+        second-order weighting, as in XGBoost/LightGBM): a row at weight w
+        contributes w times the loss of an unweighted row.  None = all 1."""
         X = np.ascontiguousarray(X, dtype=np.float64)
         y = np.asarray(y, dtype=np.float64)
-        p0 = np.clip(y.mean(), 1e-6, 1 - 1e-6)
+        if sample_weight is None:
+            w = np.ones(len(y), dtype=np.float64)
+        else:
+            w = np.asarray(sample_weight, dtype=np.float64)
+            if w.shape != y.shape:
+                raise ValueError(f"sample_weight shape {w.shape} != y shape {y.shape}")
+        p0 = np.clip(np.average(y, weights=w), 1e-6, 1 - 1e-6)
         self.base_score = float(np.log(p0 / (1 - p0)))
         margin = np.full(len(y), self.base_score)
         # Pre-sort every feature once; nodes reuse the global order.
@@ -96,8 +111,8 @@ class GBMClassifier:
         self._packed_n = -1  # invalidate any packed forest from a prior fit
         for t in range(self.n_estimators):
             p = _sigmoid(margin)
-            g = p - y
-            h = np.maximum(p * (1.0 - p), 1e-12)
+            g = (p - y) * w
+            h = np.maximum(p * (1.0 - p), 1e-12) * w
             tree = _Tree()
             self._build_node(tree, X, g, h, np.arange(len(y)), order, depth=0)
             self.trees.append(tree)

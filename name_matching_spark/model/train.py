@@ -210,13 +210,36 @@ def train(
     tune_grid: list[dict] | None = None,
     tune_objective: str = "f1_at_threshold",
     out_dir: str | None = None,
+    scale_corpus_entities: int = 50_000,
+    scale_copy_weight: float = 0.5,
 ) -> dict:
     """Train the pairwise classifier.  ``tune_grid`` switches on the
     deterministic grid search and refits the winner; ``tune_objective``
     picks the selection rule — ``"f1_at_threshold"`` (holdout F1, our
     authoritative gate) or ``"cv_ap"`` (5-fold CV average precision, the
     reference's Optuna objective); ``out_dir`` redirects the artifact
-    files (tests)."""
+    files (tests).
+
+    ``scale_corpus_entities`` switches on corpus-scale domain
+    randomization: every training pair is featurized a SECOND time with
+    its three TF-IDF-dependent columns recomputed under a fit on a large
+    synthetic alias corpus (that many generator entities ∪ the train
+    corpus), and both copies are stacked into the fit.  At serving time
+    the idf features are computed under a fit on the corpus being
+    resolved, so their distribution shifts with corpus size (a shared
+    surname's rarity drops as the corpus grows); a model trained under
+    the small-corpus fit alone learns corpus-size-specific idf bands and
+    collapses on the same pair shapes at 10^5+ names (measured: identical
+    initial-form pairs scored 0.99 under a 10k-entity fit and 0.02 under
+    a 100k-entity fit).  0 disables (the pre-round-5 behavior).
+
+    ``scale_copy_weight`` is the sample weight of each scale-fit copy
+    relative to its original row (weight 1.0).  Equal weighting pulls
+    reference-regime decisions toward the scale regime hard enough to
+    flip reference semantic expectations (measured: "John Smith" ~
+    "J. Smith" 0.96 → 0.75 at equal weight); 0.5 keeps the reference
+    contract while still teaching the model that a positive stays
+    positive when its idf evidence deflates at corpus scale."""
     t0 = time.time()
     df = load_labeled_pairs(pos_csv, neg_csv)
     df["source"] = "reference"
@@ -239,8 +262,32 @@ def train(
         set(df["name_x_norm"].unique()) | set(df["name_y_norm"].unique())
     )
     tfidf = TfidfModel.fit(corpus)
-    X = build_features(df["name_x_norm"].tolist(), df["name_y_norm"].tolist(), tfidf)
+    xs_norm = df["name_x_norm"].tolist()
+    ys_norm = df["name_y_norm"].tolist()
+    X = build_features(xs_norm, ys_norm, tfidf)
     y = df["label"].to_numpy(dtype=np.float64)
+
+    # Corpus-scale domain randomization (see docstring): the same pairs,
+    # idf features recomputed under an at-resolution-scale fit.  The fit
+    # must be corpus-adaptive (no frequency truncation) to mirror
+    # TfidfModel.fit_spark(max_features=None) — a truncated vocabulary
+    # sends rare cores to the OOV max-idf path and reproduces the small-
+    # corpus regime instead of the large one.
+    X_scale = None
+    if scale_corpus_entities:
+        from name_matching_spark.datagen import generate_entities
+        from name_matching_spark.functions.features import refit_idf_features
+        from name_matching_spark.functions.tfidf import ADAPTIVE_VOCAB_CEILING
+
+        ents = generate_entities(n_entities=scale_corpus_entities, seed=seed + 101)
+        scale_names = {
+            preprocess_name(a) for aliases in ents["aliases"] for a in aliases
+        }
+        scale_corpus = sorted((scale_names | set(corpus)) - {""})
+        tfidf_scale = TfidfModel.fit(
+            scale_corpus, max_features=ADAPTIVE_VOCAB_CEILING
+        )
+        X_scale = refit_idf_features(X, xs_norm, ys_norm, tfidf_scale)
 
     # NB on the cosine feature: the reference fits TF-IDF once on the
     # training corpus; at resolution time this module refits on the corpus
@@ -262,16 +309,38 @@ def train(
         max_depth = chosen["max_depth"]
         learning_rate = chosen["learning_rate"]
 
-    # Honest holdout evaluation, then (like the reference) refit on the full frame.
+    # Honest holdout evaluation, then (like the reference) refit on the full
+    # frame.  The split is on PAIRS (not stacked rows), so a holdout pair is
+    # unseen under BOTH fits — stacking the two featurizations of the same
+    # training pair is augmentation, not leakage.
     rng = np.random.default_rng(seed)
     perm = rng.permutation(len(y))
     n_test = int(len(y) * test_frac)
     test_idx, train_idx = perm[:n_test], perm[n_test:]
+
+    def _stack(idx: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+        if X_scale is None:
+            return X[idx], y[idx], None
+        return (
+            np.vstack([X[idx], X_scale[idx]]),
+            np.concatenate([y[idx], y[idx]]),
+            np.concatenate(
+                [np.ones(len(idx)), np.full(len(idx), scale_copy_weight)]
+            ),
+        )
+
+    X_tr, y_tr, w_tr = _stack(train_idx)
     holdout = GBMClassifier(
         n_estimators=n_estimators, max_depth=max_depth, learning_rate=learning_rate
-    ).fit(X[train_idx], y[train_idx])
+    ).fit(X_tr, y_tr, sample_weight=w_tr)
     p_test = holdout.predict_proba(X[test_idx])
     f1_holdout = f1_score(y[test_idx], (p_test >= threshold).astype(int))
+    f1_holdout_scalefit = None
+    if X_scale is not None:
+        p_test_scale = holdout.predict_proba(X_scale[test_idx])
+        f1_holdout_scalefit = f1_score(
+            y[test_idx], (p_test_scale >= threshold).astype(int)
+        )
 
     # M9 twin: ROC / PR curves + AUCs on the honest holdout, persisted as
     # data (the reference draws these with matplotlib; see evaluation.py).
@@ -279,9 +348,10 @@ def train(
 
     curves = evaluation_curves(y[test_idx], p_test)
 
+    X_full, y_full, w_full = _stack(np.arange(len(y)))
     model = GBMClassifier(
         n_estimators=n_estimators, max_depth=max_depth, learning_rate=learning_rate
-    ).fit(X, y)
+    ).fit(X_full, y_full, sample_weight=w_full)
     p_full = model.predict_proba(X)
     f1_full = f1_score(y, (p_full >= threshold).astype(int))
     # The authoritative gate: F1 on the REFERENCE labeled subset only.
@@ -314,6 +384,11 @@ def train(
         "positives": int(y.sum()),
         "threshold": threshold,
         "f1_holdout": round(f1_holdout, 6),
+        "f1_holdout_scalefit": (
+            round(f1_holdout_scalefit, 6) if f1_holdout_scalefit is not None else None
+        ),
+        "scale_corpus_entities": scale_corpus_entities,
+        "scale_copy_weight": scale_copy_weight if scale_corpus_entities else None,
         "f1_full": round(f1_full, 6),
         "f1_reference": round(f1_reference, 6),
         "f1_reference_holdout": round(f1_reference_holdout, 6),

@@ -60,6 +60,29 @@ def test_gbm_learns_and_roundtrips():
     assert np.allclose(m2.predict_proba(X), model.predict_proba(X))
 
 
+def test_gbm_sample_weight_tilts_conflicted_region():
+    # Two identical feature points with conflicting labels: the fitted
+    # probability must land at the weighted positive fraction, and tilting
+    # the weights must move it.  Also: weight=1 vector == unweighted fit.
+    X = np.zeros((200, 1))
+    y = np.array([1.0, 0.0] * 100)
+    m_even = GBMClassifier(n_estimators=40, max_depth=2).fit(X, y)
+    p_even = m_even.predict_proba(np.zeros((1, 1)))[0]
+    assert abs(p_even - 0.5) < 0.05
+    w = np.where(y == 1, 3.0, 1.0)
+    m_tilt = GBMClassifier(n_estimators=40, max_depth=2).fit(X, y, sample_weight=w)
+    p_tilt = m_tilt.predict_proba(np.zeros((1, 1)))[0]
+    assert abs(p_tilt - 0.75) < 0.05
+    rng = np.random.default_rng(3)
+    Xr = rng.normal(size=(500, 3))
+    yr = (Xr[:, 0] > 0).astype(float)
+    a = GBMClassifier(n_estimators=30, max_depth=2).fit(Xr, yr)
+    b = GBMClassifier(n_estimators=30, max_depth=2).fit(
+        Xr, yr, sample_weight=np.ones(len(yr))
+    )
+    assert np.allclose(a.predict_proba(Xr), b.predict_proba(Xr))
+
+
 def test_gbm_probability_monotone_feature():
     rng = np.random.default_rng(2)
     X = rng.uniform(size=(2000, 1))
