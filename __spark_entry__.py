@@ -40,7 +40,7 @@ SURVEY §2 coverage map (operator id -> where it is exercised):
   U2  token-set intersection          -> u2_token_intersect
   U3  index-set difference            -> left-anti join in entity_table singletons (tests)
   F1-F8 similarity features           -> f1_jaccard, f3_ratio_levenshtein (native twins);
-                                         full 17-feature vector in er_score_pairs +
+                                         full 18-feature vector in er_score_pairs +
                                          functions/similarity.py unit tests + F1 gate
   M1  train classifier                -> model/train.py (gate test replays labeled pairs)
   M2  probability scoring             -> er_score_pairs (Arrow UDF + broadcast model)

@@ -58,6 +58,17 @@ FEATURE_COLS = [
     # near-match-consumed by BARRIGA).  The dominant glue family measured
     # at the 60/10k fixtures once shared_max_idf lifted initial forms.
     "initial_conflict",
+    # 1.0 when a LEADING single-letter initial is prefix-satisfied ONLY by
+    # org kind/designator words on the other side ("H PINNACLE" ~
+    # "HOTEL PINNACLE" / "PINNACLE HOTEL LTD"): org aliases abbreviate
+    # their kind word but never take person-style initial forms, so the
+    # pair is cross-type.  A person initial expanding to ANY non-kind
+    # token ("J SMITH" ~ "JOHN SMITH") stays 0, as does an initial that
+    # matches the other side's own leading initial.  Without this column
+    # the two families are featurally identical, and the corpus-scale
+    # training copies tip the shared region below the 0.85 threshold
+    # (scripts/diag_initial_pair.py).
+    "kind_initial",
 ]
 
 
@@ -178,6 +189,43 @@ def initial_conflict_batch(xs, ys) -> np.ndarray:
     return out
 
 
+def kind_initial_batch(xs, ys) -> np.ndarray:
+    """1.0 iff a leading single-letter initial on either side is
+    prefix-satisfied exclusively by KIND_WORDS tokens on the other side.
+
+    "Satisfied" mirrors :func:`initial_conflict_batch` step 3: the initial
+    diacritic-fold-prefixes a full (>1 char) token.  The flag requires
+    (a) at least one satisfying token, (b) every satisfying token is a
+    kind/designator word, and (c) the other side does not carry an equal
+    leading initial (equal initials explain each other:
+    "H PINNACLE" ~ "H PINNACLE LTD" stays 0).  Reference positives with a
+    trailing fragment letter ("HOTEL CONT L" ~ "HOTEL CONTINENTAL") are
+    untouched — only a LEADING single letter counts, same rule as
+    initial_conflict_batch."""
+    from name_matching_spark.functions.similarity import KIND_WORDS
+
+    n = len(xs)
+    out = np.zeros(n, dtype=np.float64)
+    for k, (x, y) in enumerate(zip(xs, ys)):
+        tx = x.split()
+        ty = y.split()
+
+        def _kind_only(tokens_a, tokens_b):
+            # leading initial of side a vs full tokens of side b
+            if not tokens_a or len(tokens_a[0]) != 1:
+                return False
+            i = tokens_a[0]
+            if tokens_b and len(tokens_b[0]) == 1 and tokens_b[0] == i:
+                return False
+            fi = _fold(i)
+            sat = [t for t in tokens_b if len(t) > 1 and _fold(t).startswith(fi)]
+            return bool(sat) and all(t in KIND_WORDS for t in sat)
+
+        if _kind_only(tx, ty) or _kind_only(ty, tx):
+            out[k] = 1.0
+    return out
+
+
 def idf_evidence_batch(xs, ys, tfidf) -> tuple[np.ndarray, np.ndarray]:
     """(shared_max_idf, idf_jaccard) for aligned batches of normalized
     names.  Tokens are the >=2-char words (1-char initials deliberately
@@ -243,6 +291,7 @@ def build_features(xs, ys, tfidf: TfidfModel) -> np.ndarray:
         shared_max_idf,
         idf_jaccard,
         initial_conflict_batch(xs, ys),
+        kind_initial_batch(xs, ys),
     ]
     return np.column_stack(cols)
 

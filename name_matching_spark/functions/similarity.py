@@ -881,6 +881,30 @@ def strip_legal_suffixes(s: str) -> str:
     return " ".join(tokens) if tokens else s
 
 
+# Generic business KIND words: the open-class organization-type vocabulary
+# (what the business IS) as opposed to the closed legal-form suffixes above
+# (how it is registered).  Used by features.kind_initial_batch to tell a
+# person initial expanding to a given name ("J SMITH" ~ "JOHN SMITH",
+# a match) from a single letter that only "expands" to an org kind word
+# ("H PINNACLE" ~ "HOTEL PINNACLE", cross-type — org aliases abbreviate
+# their kind word, they do not take person-style initial forms).
+KIND_WORDS = frozenset(
+    """
+HOTEL HOTELS MOTEL RESORT RESORTS HOSTEL LODGE INN SUITES RESIDENCES
+RESTAURANT RESTAURANTS CAFE BISTRO BAKERY BAR GRILL KITCHEN CATERING
+BANK BANKING INSURANCE CAPITAL FINANCE FINANCIAL SECURITIES INVESTMENTS
+TRADING TRADERS LOGISTICS SHIPPING FREIGHT TRANSPORT TRANSPORTATION
+SYSTEMS SOLUTIONS TECHNOLOGIES TECHNOLOGY SOFTWARE CONSULTING CONSULTANTS
+PARTNERS ASSOCIATES AGENCY SERVICES INDUSTRIES MANUFACTURING CONSTRUCTION
+PROPERTIES REALTY STORE STORES SHOP MARKET MARKETS PHARMACY CLINIC
+HOSPITAL LABORATORIES LABS STUDIO STUDIOS MEDIA PUBLISHING TRAVEL TOURS
+AIRLINES AIRWAYS MOTORS AUTOMOTIVE ENERGY PETROLEUM MINING FARMS FOODS
+BEVERAGES BREWERY DISTILLERY TEXTILES APPAREL JEWELERS UNIVERSITY COLLEGE
+ACADEMY INSTITUTE FOUNDATION ASSOCIATION SOCIETY CLUB FEDERATION UNION
+""".split()
+) | LEGAL_SUFFIXES
+
+
 def core_ratio_batch(xs, ys, memo: dict | None = None) -> np.ndarray:
     return ratio_batch(
         [strip_legal_suffixes(s) for s in xs],

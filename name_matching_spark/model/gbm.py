@@ -81,6 +81,11 @@ class GBMClassifier:
         self.min_gain = min_gain
         self.base_score = 0.0
         self.trees: list[_Tree] = []
+        # Optional serving contract: the feature-column names (in order)
+        # the model was fitted on.  Set by model.train.train() before
+        # save; load_artifacts() enforces append-only evolution against
+        # the current features.FEATURE_COLS.
+        self.feature_cols: list[str] | None = None
 
     # -- training -------------------------------------------------------------
 
@@ -240,6 +245,11 @@ class GBMClassifier:
             {
                 "base_score": self.base_score,
                 "learning_rate": self.learning_rate,
+                **(
+                    {"feature_cols": self.feature_cols}
+                    if self.feature_cols is not None
+                    else {}
+                ),
                 "trees": [
                     {
                         "feature": t.feature,
@@ -258,6 +268,7 @@ class GBMClassifier:
         obj = json.loads(payload)
         model = cls(learning_rate=obj["learning_rate"])
         model.base_score = obj["base_score"]
+        model.feature_cols = obj.get("feature_cols")
         model.trees = []
         for td in obj["trees"]:
             t = _Tree()

@@ -371,6 +371,7 @@ def train(
             f.write(payload)
         os.replace(tmp, path)  # readers never observe a partial artifact
 
+    model.feature_cols = list(FEATURE_COLS)
     _atomic_write(os.path.join(model_dir, os.path.basename(MODEL_PATH)), model.to_json())
     _atomic_write(os.path.join(model_dir, os.path.basename(TFIDF_PATH)), tfidf.to_json())
     _atomic_write(os.path.join(model_dir, os.path.basename(CORPUS_PATH)), json.dumps(corpus))
@@ -429,6 +430,19 @@ def load_artifacts(model_path: str = MODEL_PATH, tfidf_path: str = TFIDF_PATH):
         train(verbose=False)
     with open(model_path) as f:
         model = GBMClassifier.from_json(f.read())
+    # Append-only feature evolution: the artifact's columns must be a
+    # PREFIX of the current FEATURE_COLS (old trees simply never split on
+    # the appended columns).  A reorder/removal silently misaligns every
+    # feature the trees reference — fail loudly instead.
+    if model.feature_cols is not None and (
+        model.feature_cols != FEATURE_COLS[: len(model.feature_cols)]
+    ):
+        raise ValueError(
+            f"stale model artifact {model_path}: its feature_cols "
+            f"{model.feature_cols} are not a prefix of the current "
+            f"FEATURE_COLS {FEATURE_COLS}; retrain (python -m "
+            f"name_matching_spark.model.train)"
+        )
     with open(tfidf_path) as f:
         tfidf = TfidfModel.from_json(f.read())
     return model, tfidf

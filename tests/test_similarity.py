@@ -238,3 +238,49 @@ def test_labeled_pairs_mismatched_initial_family():
     # two families become inseparable and reference F1 pays for it
     pos_conflicted = df[(df["label"] == 1) & (conf >= 1)]
     assert len(pos_conflicted) == 0, pos_conflicted.head().to_dict("records")
+
+
+def test_kind_initial_cases():
+    from name_matching_spark.functions.features import kind_initial_batch
+
+    cases = [
+        # the measured conflicted region: an initial whose ONLY prefix
+        # expansion on the other side is an org kind/designator word
+        ("H PINNACLE", "HOTEL PINNACLE", 1),
+        ("H PINNACLE", "PINNACLE HOTEL LTD", 1),
+        ("B KELGRI", "KELGRI BANK CO", 1),
+        ("HOTEL PINNACLE", "H PINNACLE", 1),  # symmetric
+        # person initial expanding to a given name stays 0
+        ("J SMITH", "JOHN SMITH", 0),
+        ("J SMITH", "SMITH JOHN", 0),
+        ("N QUENNEVILLE", "NADIA QUENNEVILLE", 0),
+        # equal leading initials explain each other, kind word or not
+        ("H PINNACLE", "H PINNACLE LTD", 0),
+        # ambiguous: a non-kind token also satisfies the initial -> 0
+        ("H SMITH", "HENRY SMITH HOTEL", 0),
+        # trailing fragment letter is not a leading initial (reference
+        # positive "HOTEL CONT L" ~ "HOTEL CONTINENTAL")
+        ("HOTEL CONT L", "HOTEL CONTINENTAL", 0),
+        # no satisfying token at all -> 0 (that is initial_conflict's job)
+        ("H PINNACLE", "KELGRI BANK", 0),
+        ("", "", 0),
+    ]
+    got = kind_initial_batch([a for a, _, _ in cases], [b for _, b, _ in cases])
+    for (a, b, want), g in zip(cases, got):
+        assert g == want, f"{a!r} ~ {b!r}: got {g}, want {want}"
+
+
+def test_kind_initial_separates_family_a_from_initial_positives():
+    """The kind-initial negative family (a) must flag, and family (g)'s
+    person initial-form positives must all stay 0 — this separation is
+    what lets the corpus-scale training copies coexist with the
+    reference's 'John Smith' ~ 'J. Smith' semantic contract."""
+    from name_matching_spark.datagen import generate_labeled_pairs
+    from name_matching_spark.functions.features import kind_initial_batch
+
+    df = generate_labeled_pairs(n_entities=80, seed=7)
+    flag = kind_initial_batch(df["NAME_X"].tolist(), df["NAME_Y"].tolist())
+    neg_flagged = ((df["label"] == 0) & (flag == 1)).sum()
+    assert neg_flagged >= 20, "family (a) rows not flagged"
+    pos_flagged = df[(df["label"] == 1) & (flag == 1)]
+    assert len(pos_flagged) == 0, pos_flagged.head().to_dict("records")

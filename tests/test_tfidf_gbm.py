@@ -331,3 +331,39 @@ def test_pipeline_sidecar_invalidates_on_mode_flip(spark, tmp_path, monkeypatch)
         meta2 = _json.load(f)
     assert meta2["effective_fit"].startswith("hashed-")
     assert meta2["json_md5"] != meta1["json_md5"]
+
+
+def test_gbm_feature_cols_contract_roundtrip():
+    # feature_cols survive to_json/from_json; load_artifacts enforces the
+    # append-only prefix rule.
+    X = np.random.default_rng(0).normal(size=(50, 2))
+    y = (X[:, 0] > 0).astype(float)
+    m = GBMClassifier(n_estimators=5, max_depth=2).fit(X, y)
+    m.feature_cols = ["a", "b"]
+    m2 = GBMClassifier.from_json(m.to_json())
+    assert m2.feature_cols == ["a", "b"]
+    # absent field stays None (pre-contract artifacts load fine)
+    m.feature_cols = None
+    assert GBMClassifier.from_json(m.to_json()).feature_cols is None
+
+
+def test_load_artifacts_rejects_reordered_feature_cols(tmp_path):
+    import os
+
+    from name_matching_spark.functions.features import FEATURE_COLS
+    from name_matching_spark.model.train import TFIDF_PATH, load_artifacts
+
+    X = np.zeros((20, len(FEATURE_COLS)))
+    y = np.array([0.0, 1.0] * 10)
+    m = GBMClassifier(n_estimators=2, max_depth=1).fit(X, y)
+    m.feature_cols = list(reversed(FEATURE_COLS))
+    bad = tmp_path / "match_gbm.json"
+    bad.write_text(m.to_json())
+    import pytest
+
+    with pytest.raises(ValueError, match="not a prefix"):
+        load_artifacts(str(bad), TFIDF_PATH)
+    # a proper prefix loads
+    m.feature_cols = list(FEATURE_COLS[:5])
+    bad.write_text(m.to_json())
+    load_artifacts(str(bad), TFIDF_PATH)
