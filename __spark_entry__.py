@@ -557,11 +557,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # returned frame is the exact side, which DuckDB reproduces — so
         # a green hash here means both "the exact ground truth matches
         # SQL" and "the LSH path recalled >= 0.9 of it".  (Driver-side
-        # agg of 3 query rows — bounded at any scale.)
+        # agg of 10 query rows — bounded at any scale.  10 queries, not
+        # 3, for the same reason as ann3: the gate is a MEAN over k*nq
+        # recall slots, and at 15 slots one borderline-angle neighbor
+        # missed swings the mean below the gate — measured 0.87 at sf1
+        # with 3 queries vs 0.96 with 10, while sf0.01 holds 1.0 at
+        # both.  Small-sample variance, not an LSH scale pathology.)
         from name_matching_spark.operators.similarity_search import recall_at_k
 
         e = _t(spark, sf, "embeddings")
-        q = e.where(F.col("vec_id") < 3).select(
+        q = e.where(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
         approx = lsh_topk(e, q, k=5, dim=64, bits=3, tables=8)
@@ -1144,7 +1149,7 @@ def oracle_sql() -> dict[str, str]:
         # brute-force computation ann1 oracles — a green hash therefore
         # certifies both the ground truth and the recall gate.
         "ann2_recall_vs_exact": """
-            with q as (select vec_id as query_id, embedding as qv from embeddings where vec_id < 3),
+            with q as (select vec_id as query_id, embedding as qv from embeddings where vec_id < 10),
             c as (select vec_id, embedding as v from embeddings),
             s as (select query_id, vec_id,
                          round(
