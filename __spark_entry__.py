@@ -76,6 +76,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _par(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Scan-parallelism floor for COMPUTE-HEAVY narrow plans.
+
+    The driver testdata ships each table as one parquet file with one row
+    group, so the leaf scan is a single task and every narrow expression
+    chain above it (MinHash md5 folds, normalization, per-row vector math)
+    runs on one core.  When the scan has fewer partitions than the session
+    parallelism, round-robin repartition once right after the read (guide
+    §2.5: "fix at the source; otherwise repartition immediately after the
+    read").  Applied ONLY where downstream per-row compute dominates —
+    a keyless repartition pays a local sort of its input plus a full-width
+    shuffle, which measurably HURTS plain aggregation/join queries over
+    wider tables (a7: 0.65s -> 1.96s), so those keep the bare scan.  At
+    production scale the input has >= cores splits and the branch never
+    fires: no shuffle is added."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship — mini entity resolution over the part-name table
 # ---------------------------------------------------------------------------
@@ -135,7 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def p1_normalize_text(spark, sf):
-        d = _t(spark, sf, "documents")
+        d = _par(spark, _t(spark, sf, "documents"))
         return d.select(
             F.col("doc_id").alias("key"),
             normalize_text_col(F.col("text"), upper=True).alias("norm"),
@@ -147,7 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def p3_numeric_extract(spark, sf):
-        e = _t(spark, sf, "events")
+        e = _par(spark, _t(spark, sf, "events"))
         cleaned = F.regexp_replace(F.col("props"), r"(?U)[^\w\s]", " ")
         toks = F.filter(F.split(cleaned, r"(?U)\s+"), lambda t: t != F.lit(""))
         nums = F.filter(toks, lambda t: t.rlike(r"^[0-9]+$"))
@@ -175,10 +196,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # key instead of being dropped, and still-hot sub-blocks emit
         # linear star pairs (size-1) around a hub.  Output: per level-0
         # key, the total candidate-pair count from all three routes.
-        d = _t(spark, sf, "documents").select(
-            "doc_id",
-            F.split("text", " ")[0].alias("k1"),
-            F.coalesce(F.split("text", " ")[1], F.lit("")).alias("k2"),
+        #
+        # The shared subtrees (d, then the sub-keyed hot table) are
+        # materialized ONCE with localCheckpoint: Catalyst does not CSE
+        # across subplans, and the un-materialized shape re-planned the
+        # documents scan + split 28 times (50 Exchanges in the formatted
+        # plan; 12 after — see plans/r06/j1_block_pairs_*.txt).
+        d = (
+            _t(spark, sf, "documents")
+            .select(
+                "doc_id",
+                F.split("text", " ")[0].alias("k1"),
+                F.coalesce(F.split("text", " ")[1], F.lit("")).alias("k2"),
+            )
+            .localCheckpoint()
         )
         sizes = d.groupBy("k1").agg(F.count("*").alias("bs"))
         small = d.join(sizes.where((F.col("bs") >= 2) & (F.col("bs") <= 100)), "k1")
@@ -192,8 +223,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hot = d.join(sizes.where(F.col("bs") > 100), "k1").withColumn(
             "sk", F.concat_ws("|", "k1", "k2")
         )
-        ss = hot.groupBy("k1", "sk").agg(F.count("*").alias("sbs"))
-        sh = hot.join(
+        # (k1, sk, doc_id) of hot-block members, shared by the sub-block
+        # size aggregate, both quadratic join sides, and the star count.
+        hotm = hot.select("k1", "sk", "doc_id").localCheckpoint()
+        ss = hotm.groupBy("k1", "sk").agg(F.count("*").alias("sbs"))
+        sh = hotm.join(
             ss.where((F.col("sbs") >= 2) & (F.col("sbs") <= 100)).select("sk"), "sk"
         )
         a2, b2 = sh.alias("a"), sh.alias("b")
@@ -304,9 +338,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         terms = d.select("doc", F.concat(toks, bigrams).alias("terms"))
         n_docs = terms.count()
         # one explode + one aggregate: tf = occurrences, df = distinct docs
-        # (same values as the explode-twice-and-join shape, half the scans)
+        # (same values as the explode-twice-and-join shape, half the scans).
+        # explode_outer + isNotNull instead of explode: plain explode makes
+        # the optimizer infer `size(terms) > 0 AND isnotnull(terms)` and
+        # push it below the distinct, re-evaluating the whole tokenize+
+        # bigram expression tree twice per INPUT row (observed in the
+        # formatted plan); the outer variant emits a NULL term for empty
+        # arrays, filtered right after the Generate for the identical row
+        # set at a fraction of the expression cost (guide §7.2).
         return (
-            terms.select("doc", F.explode("terms").alias("term"))
+            terms.select("doc", F.explode_outer("terms").alias("term"))
+            .where(F.col("term").isNotNull())
             .groupBy("term")
             .agg(
                 F.count("*").alias("tf"),
@@ -331,7 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def o1_token_sort(spark, sf):
-        return _t(spark, sf, "part").select(
+        return _par(spark, _t(spark, sf, "part")).select(
             F.col("p_partkey").alias("key"),
             F.array_join(F.array_sort(F.split("p_name", " ")), " ").alias("sorted_name"),
         )
@@ -354,7 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return c.unionByName(s).groupBy("src").agg(F.count("*").alias("n"))
 
     def u2_token_intersect(spark, sf):
-        d = _t(spark, sf, "documents").select(
+        d = _par(spark, _t(spark, sf, "documents")).select(
             "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
         )
         a = d.alias("a")
@@ -370,7 +412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def f1_jaccard(spark, sf):
-        d = _t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("toks"))
+        d = _par(spark, _t(spark, sf, "documents")).select(
+            "doc_id", F.split("text", " ").alias("toks")
+        )
         a = d.alias("a")
         b = d.select(
             (F.col("doc_id") - 1).alias("doc_id"), F.col("toks").alias("toks_b")
@@ -489,11 +533,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def d2_minhash_lsh_pairs(spark, sf):
         return dd.minhash_lsh_pairs(
-            _t(spark, sf, "documents"), bands=4, rows_per_band=4
+            _par(spark, _t(spark, sf, "documents")), bands=4, rows_per_band=4
         )
 
     def d2b_minhash_signature(spark, sf):
-        sigs = dd.minhash_signatures(_t(spark, sf, "documents"), num_hashes=4)
+        sigs = dd.minhash_signatures(
+            _par(spark, _t(spark, sf, "documents")), num_hashes=4
+        )
         return sigs.select(
             "key", *[F.col("sig")[i].alias(f"h{i}") for i in range(4)]
         )
@@ -502,11 +548,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the composed flow: exact dedup -> LSH candidates over survivors
         # -> n-gram Jaccard verify -> drop list (fully oracle-checkable)
         return dd.dedup_pipeline(
-            _t(spark, sf, "documents"), bands=4, rows_per_band=4, min_jaccard=0.5
+            _par(spark, _t(spark, sf, "documents")),
+            bands=4,
+            rows_per_band=4,
+            min_jaccard=0.5,
         )
 
     def d3_simhash(spark, sf):
-        return dd.simhash(_t(spark, sf, "documents"), bits=16)
+        return dd.simhash(_par(spark, _t(spark, sf, "documents")), bits=16)
 
     def d3b_simhash_pairs(spark, sf):
         # 32-bit signature: 16 bits saturates past ~10^4 docs (only 65k
@@ -515,18 +564,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # docs).  At 32 bits the incidental rate is ~1.3e-6 and the output
         # tracks the true near-dup structure at every tested scale.
         return dd.simhash_pairs(
-            _t(spark, sf, "documents"), bits=32, bands=4, max_hamming=3
+            _par(spark, _t(spark, sf, "documents")), bits=32, bands=4, max_hamming=3
         )
 
     def d4_ngram_jaccard(spark, sf):
-        d = _t(spark, sf, "documents")
+        d = _par(spark, _t(spark, sf, "documents"))
         pairs = d.select(F.col("doc_id").alias("key_x")).withColumn(
             "key_y", F.col("key_x") + 1
         ).join(d.select(F.col("doc_id").alias("key_y")), "key_y")
         return dd.ngram_jaccard_pairs(pairs, d, n=3)
 
     def d5_embedding_cosine(spark, sf):
-        e = _t(spark, sf, "embeddings")
+        e = _par(spark, _t(spark, sf, "embeddings"))
         pairs = e.select(F.col("vec_id").alias("key_x")).withColumn(
             "key_y", F.col("key_x") + 1
         ).join(e.select(F.col("vec_id").alias("key_y")), "key_y")
@@ -534,7 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("key_x", "key_y", F.round("cosine", 4).alias("cosine"))
 
     def ann1_bruteforce_topk(spark, sf):
-        e = _t(spark, sf, "embeddings")
+        e = _par(spark, _t(spark, sf, "embeddings"))
         q = e.where(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
@@ -544,7 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def ann2_lsh_topk(spark, sf):
-        e = _t(spark, sf, "embeddings")
+        e = _par(spark, _t(spark, sf, "embeddings"))
         q = e.where(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
@@ -585,7 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann3_ivf_topk(spark, sf):
         from name_matching_spark.operators.similarity_search import ivf_topk
 
-        e = _t(spark, sf, "embeddings")
+        e = _par(spark, _t(spark, sf, "embeddings"))
         q = e.where(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
@@ -626,18 +675,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def t1_token_count(spark, sf):
-        return ta.token_count(_t(spark, sf, "documents")).select(
+        return ta.token_count(_par(spark, _t(spark, sf, "documents"))).select(
             "key", "n_tokens", "n_chars"
         )
 
     def t2_quality_score(spark, sf):
-        return ta.quality_score(_t(spark, sf, "documents"))
+        return ta.quality_score(_par(spark, _t(spark, sf, "documents")))
 
     def t3_lang_id(spark, sf):
-        return ta.lang_id(_t(spark, sf, "documents"))
+        return ta.lang_id(_par(spark, _t(spark, sf, "documents")))
 
     def t4_fingerprint(spark, sf):
-        return ta.fingerprint(_t(spark, sf, "documents"))
+        return ta.fingerprint(_par(spark, _t(spark, sf, "documents")))
 
     def mm1_multimodal_features(spark, sf):
         from name_matching_spark.operators.multimodal import (

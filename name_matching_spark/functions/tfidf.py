@@ -194,19 +194,35 @@ class TfidfModel:
         adaptive_cap = ceiling if ceiling is not None else ADAPTIVE_VOCAB_CEILING
         # ONE explode + ONE aggregate: tf = occurrence count, df = distinct
         # containing docs — same values as the explode-twice-and-join shape
-        # with half the scans and no join.
-        stats = (
-            with_terms.select("doc", F.explode("terms").alias("term"))
+        # with half the scans and no join.  explode_outer + isNotNull
+        # instead of explode: the inferred non-empty filter a plain explode
+        # generates gets pushed below the distinct and re-evaluates the
+        # whole tokenize+bigram tree twice per input row (guide §7.2).
+        agg = (
+            with_terms.select("doc", F.explode_outer("terms").alias("term"))
+            .where(F.col("term").isNotNull())
             .groupBy("term")
             .agg(
                 F.count("*").alias("tf"),
                 F.countDistinct("doc").alias("df"),
             )
             .where(F.col("df") <= max_df * n_docs)
-            .orderBy(F.desc("tf"), F.asc("term"))
-            .limit((max_features if max_features is not None else adaptive_cap) + 1)
-            .collect()
         )
+        if max_features is not None:
+            # frequency-truncated vocabulary: the global order IS the
+            # truncation rule, keep the sort
+            stats = agg.orderBy(F.desc("tf"), F.asc("term")).limit(
+                max_features + 1
+            ).collect()
+        else:
+            # corpus-adaptive: every surviving term is kept (up to the
+            # ceiling), so the global sort bought nothing but a full
+            # exchange + TakeOrdered heap over every term (guide §2.4:
+            # an orderBy used only to make output deterministic) — the
+            # vocabulary is re-sorted lexicographically below either way.
+            # Over-ceiling handling needs no order: the fit SWITCHES to
+            # hashed, discarding the collected rows.
+            stats = agg.limit(adaptive_cap + 1).collect()
         limit = max_features if max_features is not None else adaptive_cap
         if len(stats) > limit:
             stats = stats[:limit]
@@ -327,7 +343,9 @@ class HashedTfidfModel:
         )
         stats = (
             docs.select("doc", F.concat(toks, bigrams).alias("terms"))
-            .select("doc", F.explode("terms").alias("term"))
+            .select("doc", F.explode_outer("terms").alias("term"))
+            .where(F.col("term").isNotNull())  # see fit_spark: avoids the
+            # inferred non-empty filter re-tokenizing below the distinct
             .select("doc", bucket.alias("b"))
             .groupBy("b")
             .agg(F.countDistinct("doc").alias("df"))

@@ -85,6 +85,26 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _collect_bounded(df: DataFrame, max_rows: int):
+    """Arrow-batched driver collect of at most ``max_rows`` rows, or None
+    when the frame is bigger.  ONE job (limit max_rows+1 -> toPandas)
+    replaces the previous probe-count + row-at-a-time ``toLocalIterator``
+    pair (guide §5: Arrow for driver transfers — the pickled-row iterator
+    path was the components stage's dominant cost at bench scale).  NaN
+    floats are mapped back to None so downstream ``x is not None`` checks
+    keep their exact semantics."""
+    pdf = df.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        return None
+    cols = []
+    for c in pdf.columns:
+        vals = pdf[c].tolist()
+        if pdf[c].dtype.kind == "f":
+            vals = [None if v != v else v for v in vals]  # NaN -> None
+        cols.append(vals)
+    return list(zip(*cols)) if cols else []
+
+
 def _driver_union_find(rows) -> list[tuple[str, str]]:
     """Min-label union-find over an edge list (driver-side fast path)."""
     parent: dict = {}
@@ -134,23 +154,32 @@ def connected_components(
     Raises ``RuntimeError`` if the star alternation has not reached its
     fixed point within ``max_iterations`` rounds (silently returning
     partial labels would split entities)."""
-    e = _canon_edges(edges, src, dst).localCheckpoint()
-    retired = [e]
     spark = edges.sparkSession
+    canon = _canon_edges(edges, src, dst)
 
-    def _finish_on_driver(cur_e: DataFrame) -> DataFrame:
+    def _labels_df(labels, node_t) -> DataFrame:
         from pyspark.sql.types import StructField, StructType
 
-        labels = _driver_union_find(
-            (r["lo"], r["hi"]) for r in cur_e.toLocalIterator()
-        )
-        node_t = cur_e.schema["lo"].dataType  # node type preserved (str/int/...)
-        out = spark.createDataFrame(
+        return spark.createDataFrame(
             labels,
             StructType(
                 [StructField("name", node_t), StructField("component", node_t)]
             ),
         )
+
+    # Driver fast path, single job: bounded Arrow collect of the canonical
+    # edges (no localCheckpoint, no checksum job needed when it fits).
+    first = _collect_bounded(canon, driver_max_edges)
+    if first is not None:
+        return _labels_df(_driver_union_find(first), canon.schema["lo"].dataType)
+    e = canon.localCheckpoint()
+    retired = [e]
+
+    def _finish_on_driver(cur_e: DataFrame) -> DataFrame:
+        labels = _driver_union_find(
+            (r["lo"], r["hi"]) for r in cur_e.toLocalIterator()
+        )
+        out = _labels_df(labels, cur_e.schema["lo"].dataType)
         for df in retired:
             try:
                 df.unpersist()
@@ -637,12 +666,9 @@ def subsumption_aware_components(
             else F.lit(None).cast("double")
         ).alias("mg"),
     )
-    if m.limit(driver_max_edges + 1).count() <= driver_max_edges:
-        rows = [
-            (r["src"], r["dst"], r["p"], r["c"], r["al"], r["twl"], r["mg"])
-            for r in m.toLocalIterator()
-            if r["src"] != r["dst"]
-        ]
+    collected = _collect_bounded(m, driver_max_edges)
+    if collected is not None:
+        rows = [t for t in collected if t[0] != t[1]]
         labels = _subsumption_aware_driver(
             rows,
             max_component=refine_kw.get("max_component", 100),
@@ -1057,18 +1083,15 @@ def refined_components(
         *ev_cols,
         mg_col,
     )
-    if m.limit(driver_max_edges + 1).count() <= driver_max_edges:
+    collected = _collect_bounded(m, driver_max_edges)
+    if collected is not None:
         # Degenerate-edge parity with the distributed path: _canon_edges
         # drops self-loops (src == dst) before CC, and the ladder's
         # `prob >= t` column comparison silently drops NULL probabilities —
         # mirror both here so the two paths agree byte-for-byte on unclean
         # public-operator inputs (a NULL prob would otherwise TypeError in
         # Python's `p >= t`, and a self-loop would get a driver-only label).
-        rows = [
-            (r["src"], r["dst"], r["p"], r["c"], r["al"], r["mg"])
-            for r in m.toLocalIterator()
-            if r["src"] != r["dst"]
-        ]
+        rows = [t for t in collected if t[0] != t[1]]
         labels = _refine_driver(
             rows,
             max_component,
