@@ -547,11 +547,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def d6_dedup_pipeline(spark, sf):
         # the composed flow: exact dedup -> LSH candidates over survivors
         # -> n-gram Jaccard verify -> drop list (fully oracle-checkable)
+        # no _par here: every expensive dedup stage (signatures, grams)
+        # runs AFTER the exact-dedup window shuffle, so a scan repartition
+        # adds an exchange without parallelizing anything (measured +1.5s)
         return dd.dedup_pipeline(
-            _par(spark, _t(spark, sf, "documents")),
-            bands=4,
-            rows_per_band=4,
-            min_jaccard=0.5,
+            _t(spark, sf, "documents"), bands=4, rows_per_band=4, min_jaccard=0.5
         )
 
     def d3_simhash(spark, sf):
@@ -568,7 +568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def d4_ngram_jaccard(spark, sf):
-        d = _par(spark, _t(spark, sf, "documents"))
+        # gram compute happens after the candidate semi-join shuffle — a
+        # scan repartition would be pure overhead (cf. d6)
+        d = _t(spark, sf, "documents")
         pairs = d.select(F.col("doc_id").alias("key_x")).withColumn(
             "key_y", F.col("key_x") + 1
         ).join(d.select(F.col("doc_id").alias("key_y")), "key_y")

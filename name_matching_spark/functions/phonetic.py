@@ -189,3 +189,29 @@ def double_metaphone_udf():
         return s.map(lambda v: list(double_metaphone(v)) if v is not None else None)
 
     return F.pandas_udf(_batch, ArrayType(StringType()))
+
+
+def metaphone_name_codes_udf(min_token_len: int = 2):
+    """pandas UDF: whole normalized NAME -> flat array of all non-empty
+    metaphone codes of its >= ``min_token_len``-char tokens.  One Python
+    evaluation per name instead of one per token row — the per-name shape
+    the single-projection blocking-key plan needs (operators/blocking.py).
+    """
+
+    def _batch(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return []
+            out = []
+            for t in v.split(" "):
+                if len(t) >= min_token_len:
+                    p, sec = double_metaphone(t)
+                    if p:
+                        out.append(p)
+                    if sec:
+                        out.append(sec)
+            return out
+
+        return s.map(one)
+
+    return F.pandas_udf(_batch, ArrayType(StringType()))

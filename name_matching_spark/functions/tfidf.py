@@ -190,6 +190,10 @@ class TfidfModel:
         with_terms = docs.select(
             "doc", F.concat(toks, bigrams).alias("terms")
         )
+        # The distinct-docs chain feeds BOTH the count and the term
+        # aggregate; un-persisted it executes twice (two actions, no CSE
+        # across jobs).  One pass + spill-graceful cache instead.
+        docs.persist()
         n_docs = docs.count()
         adaptive_cap = ceiling if ceiling is not None else ADAPTIVE_VOCAB_CEILING
         # ONE explode + ONE aggregate: tf = occurrence count, df = distinct
@@ -223,6 +227,7 @@ class TfidfModel:
             # Over-ceiling handling needs no order: the fit SWITCHES to
             # hashed, discarding the collected rows.
             stats = agg.limit(adaptive_cap + 1).collect()
+        docs.unpersist()
         limit = max_features if max_features is not None else adaptive_cap
         if len(stats) > limit:
             stats = stats[:limit]
@@ -336,6 +341,7 @@ class HashedTfidfModel:
             F.slice(toks, 2, F.greatest(n_tok - 1, F.lit(0))),
             lambda a, b: F.concat_ws(" ", a, b),
         )
+        docs.persist()
         n_docs = docs.count()
         bucket = F.pmod(
             F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long"),
@@ -351,6 +357,7 @@ class HashedTfidfModel:
             .agg(F.countDistinct("doc").alias("df"))
             .collect()  # <= distinct-bucket rows, bounded by n_buckets
         )
+        docs.unpersist()
         idf = np.full(
             n_buckets, np.log((1.0 + n_docs) / 1.0) + 1.0, dtype=np.float64
         )

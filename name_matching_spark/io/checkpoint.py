@@ -142,13 +142,7 @@ class CheckpointManager:
         out = fn()
         self._write(out, name)
         stored = self.read(name)
-        # Per-partition lineage: row count per physical input partition.
-        part_counts = [
-            {"partition": int(r["pid"]), "rows": int(r["rows"])}
-            for r in stored.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count("*").alias("rows"))
-            .collect()
-        ]
+        part_counts = self._partition_lineage(stored, name)
         rows = sum(p["rows"] for p in part_counts)
         manifest = {
             "stage": name,
@@ -165,6 +159,42 @@ class CheckpointManager:
             json.dump(manifest, f)
         self._append_metric(name, rows, manifest["duration_sec"])
         return stored
+
+    def _partition_lineage(self, stored: DataFrame, name: str) -> list[dict]:
+        """Row count per physical partition of the stored stage table.
+
+        For the parquet layout the counts come straight from the parquet
+        FOOTERS (one metadata read per part file, no Spark job) — the
+        write just produced exactly one file per output partition, so the
+        lineage is identical to the old ``groupBy(spark_partition_id)``
+        job minus one full read-back of every stage per pipeline run
+        (guide §1.2: don't recompute what the storage layer already
+        knows).  The catalog layout keeps the job: table files are the
+        catalog's concern there."""
+        if self.table_format != "catalog":
+            try:
+                import glob
+
+                import pyarrow.parquet as pq
+
+                files = sorted(
+                    glob.glob(os.path.join(self._stage_dir(name), "part-*"))
+                )
+                return [
+                    {
+                        "partition": i,
+                        "rows": int(pq.ParquetFile(f).metadata.num_rows),
+                    }
+                    for i, f in enumerate(files)
+                ]
+            except Exception:
+                pass  # fall back to the Spark job below
+        return [
+            {"partition": int(r["pid"]), "rows": int(r["rows"])}
+            for r in stored.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        ]
 
     def _append_metric(self, stage: str, rows: int, duration: float) -> None:
         mdir = os.path.join(self.warehouse, "_metrics")

@@ -30,8 +30,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from name_matching_spark.functions.phonetic import double_metaphone_udf
-
 # Affine universal-hash family for MinHash (derived, fixed seed): values
 # stay < 2^31 so v*a+b stays well inside int64 — ANSI-mode safe (Spark 4
 # raises on long overflow instead of wrapping).
@@ -101,40 +99,59 @@ def blocking_keys(
     rows_per_band: int = 1,
     use_metaphone: bool = True,
 ) -> DataFrame:
-    """(key, name) pairs: one row per (blocking key, name) membership."""
+    """(key, name) pairs: one row per (blocking key, name) membership.
+
+    Single-projection plan: every key family (token / soundex / metaphone
+    / LSH band) is built as an ARRAY per name and deduplicated LOCALLY
+    (``array_distinct``) before one explode.  A name's key set is a pure
+    function of that name alone, so the per-name dedup is exactly the old
+    global ``union(...).distinct()`` — minus the 4-branch re-scan of the
+    input (Catalyst does not CSE across union branches) and minus the full
+    exchange the global distinct cost (guide §2.4: remove shuffles
+    outright).  Output verified set-identical to the union shape.  Input
+    name rows are deduplicated first (name-level, far narrower than the
+    old key-level distinct) so duplicate input rows keep the old
+    semantics."""
     c = F.col(name_col)
-    tokens = names.select(
-        c.alias("name"), F.explode(F.split(c, " ")).alias("token")
-    ).where(F.length("token") >= min_token_len)
-
-    tok_keys = tokens.select(F.concat(F.lit("tok:"), F.col("token")).alias("key"), "name")
-    sx_keys = tokens.select(
-        F.concat(F.lit("sx:"), F.soundex(F.col("token"))).alias("key"), "name"
+    uniq = names.select(c.alias("name")).dropDuplicates(["name"])
+    toks = F.coalesce(
+        F.filter(F.split(F.col("name"), " "), lambda t: F.length(t) >= min_token_len),
+        F.array().cast("array<string>"),
     )
-    key_union = tok_keys.unionByName(sx_keys)
-
+    fams = [
+        F.transform(toks, lambda t: F.concat(F.lit("tok:"), t)),
+        F.transform(toks, lambda t: F.concat(F.lit("sx:"), F.soundex(t))),
+    ]
     if use_metaphone:
-        mp = tokens.select(
-            F.explode(double_metaphone_udf()(F.col("token"))).alias("code"), "name"
-        ).where(F.length("code") > 0)
-        key_union = key_union.unionByName(
-            mp.select(F.concat(F.lit("mp:"), F.col("code")).alias("key"), "name")
-        )
+        from name_matching_spark.functions.phonetic import metaphone_name_codes_udf
 
-    if bands > 0:
-        lsh = (
-            names.withColumn("_sig", minhash_signature(c, bands * rows_per_band))
-            .withColumn(
-                "_lsh",
-                lsh_band_keys_from_sig(
-                    F.col("_sig"), bands=bands, rows_per_band=rows_per_band
-                ),
+        mp = metaphone_name_codes_udf(min_token_len)(F.col("name"))
+        fams.append(
+            F.transform(
+                F.coalesce(mp, F.array().cast("array<string>")),
+                lambda m: F.concat(F.lit("mp:"), m),
             )
-            .select(F.explode("_lsh").alias("key"), c.alias("name"))
-            .select("key", "name")
         )
-        key_union = key_union.unionByName(lsh)
-    return key_union.distinct()
+    d = uniq.select(
+        "name", *[f.alias(f"_f{i}") for i, f in enumerate(fams)]
+    )
+    if bands > 0:
+        # signature bound as a named column so the band keys read it once
+        # (see lsh_band_keys_from_sig)
+        d = d.withColumn(
+            "_sig", minhash_signature(F.col("name"), bands * rows_per_band)
+        ).withColumn(
+            "_lsh",
+            lsh_band_keys_from_sig(
+                F.col("_sig"), bands=bands, rows_per_band=rows_per_band
+            ),
+        )
+        all_keys = F.concat(
+            *[F.col(f"_f{i}") for i in range(len(fams))], F.col("_lsh")
+        )
+    else:
+        all_keys = F.concat(*[F.col(f"_f{i}") for i in range(len(fams))])
+    return d.select(F.explode(F.array_distinct(all_keys)).alias("key"), "name")
 
 
 def materialized_blocking_keys(names: DataFrame, name_col: str = "name", **kw) -> DataFrame:

@@ -292,7 +292,11 @@ class EntityResolutionPipeline:
         # Repartition before the Arrow-UDF scorer: the checkpointed pair
         # table is small on disk and AQE would coalesce it to a few
         # partitions, starving the (CPU-bound) scorer of parallelism.
-        n_part = self.spark.sparkContext.defaultParallelism * 2
+        # 1x parallelism, not 2x: each task pays a Python-worker Arrow
+        # round-trip, and the measured sweet spot is one ~20k-row Arrow
+        # batch per core (32 parts 3.10s / 64 parts 3.29s / 128 parts
+        # 4.27s on the 230k-pair bench stage).
+        n_part = self.spark.sparkContext.defaultParallelism
         # Artifact identity rides in the params: a scored_pairs checkpoint
         # produced with an older model or TF-IDF vocabulary must not be
         # served after either artifact changes.
