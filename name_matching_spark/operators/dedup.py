@@ -405,24 +405,27 @@ def dedup_pipeline(
     knobs, kept separate so tuning the LSH stage never silently changes
     verification semantics.
 
-    Plan shape: each doc row is tagged with its identical-text group's
-    winner via one window-min (one shuffle, one corpus scan) and the tagged
-    table is materialized ONCE — both the drop branch and the survivor
-    branch are then narrow filters over it.  (An unmaterialized groupBy
-    referenced by two joins re-runs the aggregate AND the corpus scan per
-    branch: Catalyst does not CSE across subplans, cf. blocking.py.)"""
-    from pyspark.sql.window import Window
-
-    tagged = docs.select(
-        F.col(key_col).alias("key"),
-        F.col(text_col).alias("__text"),
-        F.min(key_col).over(Window.partitionBy(text_col)).alias("__keep_key"),
+    Plan shape: one hash aggregate per identical-text group carrying the
+    winner and the member-key list, materialized ONCE — the drop branch
+    explodes the member lists, the survivor branch projects the winners.
+    (An unmaterialized groupBy referenced by two branches re-runs the
+    aggregate AND the corpus scan per branch: Catalyst does not CSE
+    across subplans, cf. blocking.py.)  A hash aggregate beats the
+    previous per-text window-min, which sorted every shuffle partition by
+    the full document text (measured ~5% of the pipeline); the per-group
+    member list is the same per-key row set the window buffered, just
+    held as ids, not full rows."""
+    groups = docs.groupBy(text_col).agg(
+        F.min(key_col).alias("__keep"),
+        F.collect_list(key_col).alias("__ks"),
     ).localCheckpoint()
-    exact_drops = tagged.where(F.col("key") != F.col("__keep_key")).select(
-        "key", F.lit("exact_dup").alias("reason")
+    exact_drops = (
+        groups.select(F.explode("__ks").alias("key"), "__keep")
+        .where(F.col("key") != F.col("__keep"))
+        .select("key", F.lit("exact_dup").alias("reason"))
     )
-    survivors = tagged.where(F.col("key") == F.col("__keep_key")).select(
-        F.col("key").alias(key_col), F.col("__text").alias(text_col)
+    survivors = groups.select(
+        F.col("__keep").alias(key_col), F.col(text_col)
     )
     cands = minhash_lsh_pairs(
         survivors,

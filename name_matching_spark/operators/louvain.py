@@ -143,26 +143,30 @@ def louvain_communities(
     honest scale unit: a modularity cluster is at most a component."""
     from pyspark.sql.types import StructField, StructType
 
-    e = (
+    canon = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("lo"),
             F.greatest(F.col(src), F.col(dst)).alias("hi"),
         )
         .where(F.col("lo") != F.col("hi"))
         .dropDuplicates(["lo", "hi"])
-        .localCheckpoint()
     )
-    n = e.count()
     spark = edges.sparkSession
-    node_t = e.schema["lo"].dataType
+    node_t = canon.schema["lo"].dataType
     out_schema = StructType(
         [StructField("name", node_t), StructField("component", node_t)]
     )
-    if n <= max_edges:
-        labels = louvain_driver(
-            ((r["lo"], r["hi"]) for r in e.toLocalIterator()), resolution=resolution
-        )
+    # Driver fast path, single job: bounded Arrow collect (no
+    # localCheckpoint / count / row-iterator jobs when the graph fits —
+    # same pattern as clustering._collect_bounded).
+    from name_matching_spark.operators.clustering import _collect_bounded
+
+    first = _collect_bounded(canon, max_edges)
+    if first is not None:
+        labels = louvain_driver(iter(first), resolution=resolution)
         return spark.createDataFrame(sorted(labels.items()), out_schema)
+    e = canon.localCheckpoint()
+    n = e.count()
 
     # Distributed path: CC partitions the graph, Louvain runs per component.
     from name_matching_spark.operators.clustering import connected_components
