@@ -173,13 +173,16 @@ class TfidfModel:
         """
         from pyspark.sql import functions as F
 
-        docs = names_df.select(F.lower(F.col(name_col)).alias("doc")).distinct()
+        # ONE distinct over the union (distinct(union(distinct, distinct))
+        # computes the same set through three exchanges)
+        docs = names_df.select(F.lower(F.col(name_col)).alias("doc"))
         if extra_corpus:
             spark = names_df.sparkSession
             extra = spark.createDataFrame(
                 [(c.lower(),) for c in extra_corpus], ["doc"]
-            ).distinct()
-            docs = docs.unionByName(extra).distinct()
+            )
+            docs = docs.unionByName(extra)
+        docs = docs.distinct()
         toks = F.filter(F.split(F.col("doc"), " "), lambda t: F.length(t) >= 2)
         n_tok = F.size(toks)
         bigrams = F.zip_with(
@@ -327,13 +330,16 @@ class HashedTfidfModel:
     ) -> "HashedTfidfModel":
         from pyspark.sql import functions as F
 
-        docs = names_df.select(F.lower(F.col(name_col)).alias("doc")).distinct()
+        # ONE distinct over the union (distinct(union(distinct, distinct))
+        # computes the same set through three exchanges)
+        docs = names_df.select(F.lower(F.col(name_col)).alias("doc"))
         if extra_corpus:
             spark = names_df.sparkSession
             extra = spark.createDataFrame(
                 [(c.lower(),) for c in extra_corpus], ["doc"]
-            ).distinct()
-            docs = docs.unionByName(extra).distinct()
+            )
+            docs = docs.unionByName(extra)
+        docs = docs.distinct()
         toks = F.filter(F.split(F.col("doc"), " "), lambda t: F.length(t) >= 2)
         n_tok = F.size(toks)
         bigrams = F.zip_with(

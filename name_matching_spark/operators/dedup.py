@@ -41,6 +41,24 @@ def _md5_int28(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
 
 
+def _floor_parallelism(df: DataFrame, probe: DataFrame | None = None) -> DataFrame:
+    """Round-robin repartition when the frame has fewer partitions than
+    the session's parallelism — the mid-pipeline analog of the scan floor
+    (guide §2.5).  AQE's byte-based coalescing shrinks a small shuffle to
+    1-2 partitions, which then serializes the CPU-heavy signature / gram
+    expressions above it on one core (measured: the d6 LSH stage from a
+    1-partition survivor checkpoint runs 3.0s vs 1.7s floored).  The
+    partition count is probed on ``probe`` (default ``df``), which MUST be
+    a materialized frame (checkpoint/scan): probing ``.rdd`` on an
+    un-executed AQE plan forces its shuffle stages to run at
+    plan-construction time.  At production volumes the coalesced
+    partition count far exceeds the core count and this is a no-op."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if (probe if probe is not None else df).rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Keep the smallest key per identical text (deterministic winner)."""
     return (
@@ -424,8 +442,9 @@ def dedup_pipeline(
         .where(F.col("key") != F.col("__keep"))
         .select("key", F.lit("exact_dup").alias("reason"))
     )
-    survivors = groups.select(
-        F.col("__keep").alias(key_col), F.col(text_col)
+    survivors = _floor_parallelism(
+        groups.select(F.col("__keep").alias(key_col), F.col(text_col)),
+        probe=groups,
     )
     cands = minhash_lsh_pairs(
         survivors,

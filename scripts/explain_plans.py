@@ -75,7 +75,7 @@ def main() -> None:
     q4 = score_pairs(pairs, model.to_json(), tfidf.to_json())
     sections.append((
         "Pairwise scorer (operators F1-F8 + M2-M4)",
-        "Exactly ONE ArrowEvalPython node evaluates the 12-feature+prob "
+        "Exactly ONE ArrowEvalPython node evaluates the full-feature+prob "
         "struct; everything downstream is codegen'd projection.",
         grab(q4),
     ))
