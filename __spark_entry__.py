@@ -651,7 +651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IVF quality gate, same treatment as ann2: the recall assertion
         # runs inside the query (raises below 0.9 -> red correctness
         # entry); the returned exact side is SQL-oracled.  10 queries
-        # (vs ann2's 3): on the driver table's ISOTROPIC embeddings IVF
+        # (ann2's gate uses 10 for the same small-sample-variance
+        # reason): on the driver table's ISOTROPIC embeddings IVF
         # recall ~ probe fraction, so the per-query variance at 3 queries
         # straddles the gate — the 10-query mean is stably 0.94.
         from name_matching_spark.operators.similarity_search import (

@@ -422,12 +422,29 @@ def _resolve(path: str) -> str:
     return path
 
 
+# Static-artifact parse cache, keyed by (path, mtime, size): the model /
+# tfidf / corpus JSON files are fixed inputs (like the parquet tables), and
+# re-reading + re-parsing them per pipeline construction cost ~0.3s of
+# driver time per run.  Nothing DERIVED from per-run data is ever cached —
+# a retrain rewrites the files and the mtime key invalidates.
+_ARTIFACT_CACHE: dict = {}
+
+
+def _file_key(path: str):
+    st = os.stat(path)
+    return (path, st.st_mtime_ns, st.st_size)
+
+
 def load_artifacts(model_path: str = MODEL_PATH, tfidf_path: str = TFIDF_PATH):
     """Load (model, tfidf); train on the fly if artifacts are absent."""
     model_path = _resolve(model_path)
     tfidf_path = _resolve(tfidf_path)
     if not (os.path.exists(model_path) and os.path.exists(tfidf_path)):
         train(verbose=False)
+    cache_key = ("artifacts", _file_key(model_path), _file_key(tfidf_path))
+    hit = _ARTIFACT_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
     with open(model_path) as f:
         model = GBMClassifier.from_json(f.read())
     # Append-only feature evolution: the artifact's columns must be a
@@ -445,6 +462,7 @@ def load_artifacts(model_path: str = MODEL_PATH, tfidf_path: str = TFIDF_PATH):
         )
     with open(tfidf_path) as f:
         tfidf = TfidfModel.from_json(f.read())
+    _ARTIFACT_CACHE[cache_key] = (model, tfidf)
     return model, tfidf
 
 
@@ -452,8 +470,14 @@ def load_train_corpus(path: str = CORPUS_PATH) -> list[str]:
     path = _resolve(path)
     if not os.path.exists(path):
         train(verbose=False)
+    cache_key = ("corpus", _file_key(path))
+    hit = _ARTIFACT_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
     with open(path) as f:
-        return json.load(f)
+        corpus = json.load(f)
+    _ARTIFACT_CACHE[cache_key] = corpus
+    return corpus
 
 
 if __name__ == "__main__":
