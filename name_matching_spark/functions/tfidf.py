@@ -190,14 +190,30 @@ class TfidfModel:
             F.slice(toks, 2, F.greatest(n_tok - 1, F.lit(0))),
             lambda a, b: F.concat_ws(" ", a, b),
         )
-        with_terms = docs.select(
-            "doc", F.concat(toks, bigrams).alias("terms")
-        )
         # The distinct-docs chain feeds BOTH the count and the term
         # aggregate; un-persisted it executes twice (two actions, no CSE
         # across jobs).  One pass + spill-graceful cache instead.
         docs.persist()
         n_docs = docs.count()
+        # CPU floor for the term aggregate (guide §2.5 analog of the scan
+        # floor): AQE coalesces the small distinct output to ~1 partition,
+        # serializing the tokenize+bigram+explode work on one core.
+        # Repartition BY doc (hash, not round-robin) so the downstream
+        # countDistinct(doc) keeps exploiting the doc partitioning and
+        # never shuffles doc strings into the aggregate.  Target derived
+        # from the measured corpus size (>= ~512 docs/task); at scale the
+        # cached partition count already exceeds it and this is a no-op.
+        # (.rdd probe is safe here: docs is materialized by the count.)
+        n_par = min(
+            names_df.sparkSession.sparkContext.defaultParallelism,
+            max(1, n_docs // 512),
+        )
+        src = docs
+        if n_par > 1 and docs.rdd.getNumPartitions() < n_par:
+            src = docs.repartition(n_par, F.col("doc"))
+        with_terms = src.select(
+            "doc", F.concat(toks, bigrams).alias("terms")
+        )
         adaptive_cap = ceiling if ceiling is not None else ADAPTIVE_VOCAB_CEILING
         # ONE explode + ONE aggregate: tf = occurrence count, df = distinct
         # containing docs — same values as the explode-twice-and-join shape

@@ -107,6 +107,17 @@ class CheckpointManager:
         else:
             out.write.mode("overwrite").parquet(self._stage_dir(name))
 
+    def stored_rows(self, name: str) -> int | None:
+        """Row count recorded in a completed stage's manifest (None when
+        the stage has no manifest).  Lets consumers reuse the count the
+        checkpoint already paid for instead of running another job."""
+        try:
+            with open(self.manifest_path(name)) as f:
+                rows = json.load(f).get("rows")
+            return int(rows) if rows is not None else None
+        except Exception:
+            return None
+
     def _stored_params(self, name: str):
         try:
             with open(self.manifest_path(name)) as f:

@@ -376,7 +376,11 @@ class EntityResolutionPipeline:
             else:
                 from name_matching_spark.operators.clustering import resolve_auto_cap
 
-                refine_cap = resolve_auto_cap(names.count(), self.refine_ladder)
+                # the names stage manifest already paid for this count
+                n_names = self.ckpt.stored_rows("names")
+                if n_names is None:
+                    n_names = names.count()
+                refine_cap = resolve_auto_cap(n_names, self.refine_ladder)
         if self.clustering == "louvain":
             from name_matching_spark.operators.louvain import louvain_communities
 
