@@ -32,6 +32,11 @@ _SCORE_SCHEMA = ", ".join(
     f"{c} double" for c in [*FEATURE_COLS, "probability", "margin"]
 )
 
+# The evidence columns that must survive even when the caller drops the
+# full feature vector (clustering refinement reads them) — see
+# score_pairs(keep_features=False).
+EVIDENCE_COLS = ("cosine_sim", "align_edit", "token_weakest_link")
+
 # Executor-side artifact cache: parse JSON once per python worker.
 _ARTIFACT_CACHE: dict = {}
 
@@ -49,10 +54,24 @@ def _artifacts(model_json: str, tfidf_json: str):
     return hit
 
 
-def make_scorer_udf(model_json: str, tfidf_json: str, spark=None):
+def make_scorer_udf(model_json: str, tfidf_json: str, spark=None, feature_cols=None):
     """Build the scorer UDF.  When a SparkSession is supplied the artifact
     JSON travels as a real broadcast (shipped once per executor); otherwise
-    it rides the task closure (fine for small jobs/tests)."""
+    it rides the task closure (fine for small jobs/tests).
+
+    ``feature_cols``: subset of FEATURE_COLS to EMIT (order preserved);
+    None emits all.  Every feature is still computed (the GBM consumes the
+    full vector) — this only trims what crosses the Python→JVM Arrow
+    boundary, which matters when the caller immediately drops most
+    columns (guide §4.1: control how many columns cross)."""
+    if feature_cols is None:
+        out_cols = list(FEATURE_COLS)
+    else:
+        out_cols = [c for c in FEATURE_COLS if c in set(feature_cols)]
+    out_idx = [FEATURE_COLS.index(c) for c in out_cols]
+    schema = ", ".join(
+        f"{c} double" for c in [*out_cols, "probability", "margin"]
+    )
     if spark is not None:
         bc = spark.sparkContext.broadcast((model_json, tfidf_json))
 
@@ -73,7 +92,7 @@ def make_scorer_udf(model_json: str, tfidf_json: str, spark=None):
             ly = ys.fillna("").tolist()
             X = build_features(lx, ly, tfidf)
             margin = model.predict_margin(X)
-            out = pd.DataFrame(X, columns=FEATURE_COLS)
+            out = pd.DataFrame(X[:, out_idx], columns=out_cols)
             out["probability"] = 1.0 / (1.0 + np.exp(-margin))
             out["margin"] = margin
             yield out
@@ -85,7 +104,7 @@ def make_scorer_udf(model_json: str, tfidf_json: str, spark=None):
     # parallelism.  Nondeterministic blocks that rewrite: one evaluation,
     # after the exchange.  (Observed: 2x ArrowEvalPython in the
     # score->filter plan, the pre-shuffle copy on 5 tasks.)
-    return F.pandas_udf(_score, _SCORE_SCHEMA).asNondeterministic()
+    return F.pandas_udf(_score, schema).asNondeterministic()
 
 
 def _vec_cosine(a, b):
@@ -136,7 +155,15 @@ def score_pairs(
     trained feature space is untouched, rows with NULL vectors fall back
     to the string decision alone, and without the columns the output is
     byte-identical to before."""
-    scorer = make_scorer_udf(model_json, tfidf_json, spark=pairs.sparkSession)
+    scorer = make_scorer_udf(
+        model_json,
+        tfidf_json,
+        spark=pairs.sparkSession,
+        # keep_features=False callers drop everything but the evidence
+        # columns right after the UDF — don't Arrow-serialize the other
+        # 15 float64 columns across the Python boundary just to drop them
+        feature_cols=None if keep_features else EVIDENCE_COLS,
+    )
     scored = pairs.withColumn("_s", scorer(F.col(name_x), F.col(name_y)))
     # Decision from the RAW probability; rounding is display-only — exactly
     # the reference's split (predict_model.py:176-187 thresholds the raw
