@@ -66,6 +66,7 @@ class EntityResolutionPipeline:
         tfidf_mode: str = "adaptive",
         tfidf_n_buckets: int = 1 << 20,
         subsume_attach: bool = True,
+        overlap_tfidf: bool = True,
     ):
         self.spark = spark
         self.ckpt = CheckpointManager(spark, warehouse, run_id)
@@ -128,6 +129,10 @@ class EntityResolutionPipeline:
         # scored_pairs checkpoint (debugging/analysis); default off — at
         # scale it multiplies the Arrow + parquet volume ~15x.
         self.keep_features = keep_features
+        # Run the TF-IDF fit concurrently with the blocking stages (both
+        # depend only on the names checkpoint — guide §2.6).  False forces
+        # the sequential order (A/B measurement, debugging).
+        self.overlap_tfidf = bool(overlap_tfidf)
         model, _ = load_artifacts()
         self._model_json = model.to_json()
         self.timings: dict[str, float] = {}
@@ -255,10 +260,6 @@ class EntityResolutionPipeline:
             inputs=["conversations"],
             params=in_fp,
         )
-        # Corpus-adaptive TF-IDF: distributed fit over training ∪ resolution
-        # names (checkpointed like any stage — only the 10k-term vocab is
-        # collected/stored, never the name table).
-        tfidf_json, tfidf_meta = self._tfidf_stage(names, in_fp)
         block_params = {**in_fp, "max_block": self.max_block}
         # candidate_pairs and block_metrics consume the SAME blocking-key
         # table (metaphone UDF + MinHash signatures over every name — the
@@ -273,22 +274,44 @@ class EntityResolutionPipeline:
                 _keys_cache.append(materialized_blocking_keys(names))
             return _keys_cache[0]
 
-        pairs = self._stage(
-            "candidate_pairs",
-            lambda: candidate_pairs(
-                names, max_block=self.max_block, keys=blocking_keys_once()
-            ),
-            inputs=["names"],
-            params=block_params,
-        )
-        self._stage(
-            "block_metrics",
-            lambda: block_stats(
-                names, max_block=self.max_block, keys=blocking_keys_once()
-            ),
-            inputs=["names"],
-            params=block_params,
-        )
+        # Corpus-adaptive TF-IDF: distributed fit over training ∪ resolution
+        # names (checkpointed like any stage — only the 10k-term vocab is
+        # collected/stored, never the name table).  The fit and the blocking
+        # stages both depend ONLY on the materialized names checkpoint and
+        # neither reads the other's output, so the fit runs on a worker
+        # thread while blocking runs on this one (guide §2.6 overlap
+        # independent jobs): both are driver-coordination-bound at bench
+        # scale and neither saturates the executor, so the scheduler
+        # interleaves their jobs instead of idling between round trips.
+        # Results are unchanged by construction — each thread's computation
+        # is internally deterministic and reads only the shared immutable
+        # checkpoint — and the future is joined (exceptions re-raised)
+        # before anything downstream consumes the vocabulary.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            if self.overlap_tfidf:
+                tfidf_future = _pool.submit(self._tfidf_stage, names, in_fp)
+            else:
+                tfidf_json, tfidf_meta = self._tfidf_stage(names, in_fp)
+            pairs = self._stage(
+                "candidate_pairs",
+                lambda: candidate_pairs(
+                    names, max_block=self.max_block, keys=blocking_keys_once()
+                ),
+                inputs=["names"],
+                params=block_params,
+            )
+            self._stage(
+                "block_metrics",
+                lambda: block_stats(
+                    names, max_block=self.max_block, keys=blocking_keys_once()
+                ),
+                inputs=["names"],
+                params=block_params,
+            )
+            if self.overlap_tfidf:
+                tfidf_json, tfidf_meta = tfidf_future.result()
         # Repartition before the Arrow-UDF scorer: the checkpointed pair
         # table is small on disk and AQE would coalesce it to a few
         # partitions, starving the (CPU-bound) scorer of parallelism.
