@@ -98,8 +98,16 @@ def blocking_keys(
     bands: int = 8,
     rows_per_band: int = 1,
     use_metaphone: bool = True,
+    sub_rows: int = 0,
 ) -> DataFrame:
     """(key, name) pairs: one row per (blocking key, name) membership.
+
+    ``sub_rows > 0`` additionally emits ``_ss`` — the secondary MinHash
+    signature (hash family offset 101, disjoint from the LSH bands) the
+    hot-block sub-blocking in :func:`candidate_pairs` consumes.  It is a
+    pure function of the name, so computing it here (same projection,
+    same pass over the shingles) replaces the separate
+    distinct + MinHash + join pass the sub-block path used to pay.
 
     Single-projection plan: every key family (token / soundex / metaphone
     / LSH band) is built as an ARRAY per name and deduplicated LOCALLY
@@ -151,20 +159,46 @@ def blocking_keys(
         )
     else:
         all_keys = F.concat(*[F.col(f"_f{i}") for i in range(len(fams))])
-    return d.select(F.explode(F.array_distinct(all_keys)).alias("key"), "name")
+    extra = []
+    if sub_rows > 0:
+        d = d.withColumn(
+            "_ss", minhash_signature(F.col("name"), num_hashes=sub_rows, offset=101)
+        )
+        extra = ["_ss"]
+    return d.select(
+        F.explode(F.array_distinct(all_keys)).alias("key"), "name", *extra
+    )
 
 
-def materialized_blocking_keys(names: DataFrame, name_col: str = "name", **kw) -> DataFrame:
+def materialized_blocking_keys(
+    names: DataFrame,
+    name_col: str = "name",
+    sub_rows: int = 4,
+    with_sizes: bool = True,
+    **kw,
+) -> DataFrame:
     """:func:`blocking_keys`, eagerly materialized (``localCheckpoint``).
 
-    Every consumer references the keys table several times (sizes
-    aggregate + both self-join sides + metrics), and Catalyst does not CSE
-    across subplans — without materialization the metaphone UDF + MinHash
+    Every consumer references the keys table several times (both
+    self-join sides + metrics), and Catalyst does not CSE across
+    subplans — without materialization the metaphone UDF + MinHash
     aggregates re-execute per reference.  Compute it once and hand the
     SAME materialized frame to :func:`candidate_pairs` AND
     :func:`block_stats` (the pipeline does) so the key computation runs
-    exactly once per blocking pass."""
-    return blocking_keys(names, name_col=name_col, **kw).localCheckpoint()
+    exactly once per blocking pass.
+
+    ``with_sizes`` (default) folds the per-key ``block_size`` aggregate
+    and its join INTO the one materialization job, so the pair job and
+    the sub-block job both start from an already-sized, already
+    key-partitioned table instead of each re-paying the size shuffle.
+    ``sub_rows`` threads the secondary sub-block signature into the key
+    projection (see :func:`blocking_keys`); callers that pass the frame
+    to :func:`candidate_pairs` must use the same ``sub_rows`` there."""
+    k = blocking_keys(names, name_col=name_col, sub_rows=sub_rows, **kw)
+    if with_sizes:
+        sizes = k.groupBy("key").agg(F.count("*").alias("block_size"))
+        k = k.join(sizes, "key")
+    return k.localCheckpoint()
 
 
 def candidate_pairs(
@@ -204,30 +238,41 @@ def candidate_pairs(
             bands=bands,
             rows_per_band=rows_per_band,
             use_metaphone=use_metaphone,
+            sub_rows=sub_rows if sub_block else 0,
         )
-    sizes = keys.groupBy("key").agg(F.count("*").alias("block_size"))
-    keyed = keys.join(sizes, "key")
+    if "block_size" in keys.columns:
+        keyed = keys  # sizes folded into the materialization job
+    else:
+        sizes = keys.groupBy("key").agg(F.count("*").alias("block_size"))
+        keyed = keys.join(sizes, "key")
     ok = keyed.where(
         (F.col("block_size") >= 2) & (F.col("block_size") <= max_block)
     ).select("key", "name")
     pairs = _join_pairs(ok)
     if sub_block:
-        hot = keyed.where(F.col("block_size") > max_block).select("key", "name")
         # Secondary MinHash rows (a hash family DISJOINT from the LSH
-        # bands) computed once per distinct hot-member name: a true alias
-        # pair with shingle-Jaccard J lands in the same sub-block on any
-        # given row with probability J, so with r rows the pair survives
-        # with 1-(1-J)^r — recall degrades gracefully instead of zeroing
-        # out when a whole key family goes hot (measured 0.502 truth-pair
-        # recall at 100k entities under the old purge).
-        sec = (
-            hot.select("name")
-            .distinct()
-            .withColumn(
-                "_ss",
-                minhash_signature(F.col("name"), num_hashes=sub_rows, offset=101),
+        # bands): a true alias pair with shingle-Jaccard J lands in the
+        # same sub-block on any given row with probability J, so with r
+        # rows the pair survives with 1-(1-J)^r — recall degrades
+        # gracefully instead of zeroing out when a whole key family goes
+        # hot (measured 0.502 truth-pair recall at 100k entities under
+        # the old purge).  The signature normally rides along in the keys
+        # frame (``_ss``, computed in the same projection as the keys —
+        # one pass over the shingles); a keys frame built without it
+        # falls back to the old distinct + MinHash + join pass.
+        hot = keyed.where(F.col("block_size") > max_block)
+        if "_ss" not in keys.columns:
+            sec = (
+                hot.select("name")
+                .distinct()
+                .withColumn(
+                    "_ss",
+                    minhash_signature(
+                        F.col("name"), num_hashes=sub_rows, offset=101
+                    ),
+                )
             )
-        )
+            hot = hot.select("key", "name").join(sec, "name")
         sub_key = F.array(
             *[
                 F.concat_ws(
@@ -238,10 +283,9 @@ def candidate_pairs(
         )
         # Materialize the sub-keyed table: it feeds the size aggregate,
         # both self-join sides and the star fallback — without this the
-        # MinHash aggregate re-executes per reference.
+        # hot filter + explode re-execute per reference.
         sub = (
-            hot.join(sec, "name")
-            .select(F.explode(sub_key).alias("key"), "name")
+            hot.select(F.explode(sub_key).alias("key"), "name")
             .localCheckpoint()
         )
         ssizes = sub.groupBy("key").agg(F.count("*").alias("block_size"))
