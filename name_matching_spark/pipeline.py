@@ -289,7 +289,8 @@ class EntityResolutionPipeline:
         # before anything downstream consumes the vocabulary.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=1) as _pool:
+        _pool = ThreadPoolExecutor(max_workers=1)
+        try:
             if self.overlap_tfidf:
                 tfidf_future = _pool.submit(self._tfidf_stage, names, in_fp)
             else:
@@ -302,216 +303,236 @@ class EntityResolutionPipeline:
                 inputs=["names"],
                 params=block_params,
             )
-            self._stage(
-                "block_metrics",
-                lambda: block_stats(
-                    names, max_block=self.max_block, keys=blocking_keys_once()
-                ),
-                inputs=["names"],
-                params=block_params,
+
+            def _block_metrics_stage():
+                return self._stage(
+                    "block_metrics",
+                    lambda: block_stats(
+                        names, max_block=self.max_block, keys=blocking_keys_once()
+                    ),
+                    inputs=["names"],
+                    params=block_params,
+                )
+
+            if self.overlap_tfidf:
+                # The metrics side-output is consumed by nothing downstream;
+                # queue it on the worker (after the fit — max_workers=1) so
+                # it overlaps the scorer stage instead of sitting between
+                # candidate_pairs and scored_pairs on the critical path.
+                # candidate_pairs has already populated the keys cache on
+                # this thread, so the worker only reads the materialized
+                # frame (no keys race).  The pool is NOT a context manager
+                # here: its shutdown join happens in the finally below, so
+                # the queued metrics job keeps running while the main
+                # thread proceeds into the scorer stage.
+                block_future = _pool.submit(_block_metrics_stage)
+                tfidf_json, tfidf_meta = tfidf_future.result()
+            else:
+                _block_metrics_stage()
+            # Repartition before the Arrow-UDF scorer: the checkpointed pair
+            # table is small on disk and AQE would coalesce it to a few
+            # partitions, starving the (CPU-bound) scorer of parallelism.
+            # 1x parallelism, not 2x: each task pays a Python-worker Arrow
+            # round-trip, and the measured sweet spot is one ~20k-row Arrow
+            # batch per core (32 parts 3.10s / 64 parts 3.29s / 128 parts
+            # 4.27s on the 230k-pair bench stage).
+            n_part = self.spark.sparkContext.defaultParallelism
+            # Artifact identity rides in the params: a scored_pairs checkpoint
+            # produced with an older model or TF-IDF vocabulary must not be
+            # served after either artifact changes.
+            score_params = {
+                **block_params,
+                "threshold": self.threshold,
+                "keep_features": self.keep_features,
+                "model_md5": hashlib.md5(self._model_json.encode()).hexdigest(),
+                "tfidf": tfidf_meta,
+                # plan-hash of the optional embedding channel: a changed or
+                # newly-supplied vector table must invalidate scored_pairs
+                "embeddings": embeddings.semanticHash() if embeddings is not None else None,
+            }
+
+            def _score_stage():
+                p = pairs.repartition(n_part)
+                if embeddings is not None:
+                    from name_matching_spark.operators.similarity_search import (
+                        embedding_candidates,
+                    )
+
+                    e = embeddings.select(
+                        F.col("name"), F.col("embedding").alias("_v")
+                    )
+                    dim_row = embeddings.select(
+                        F.size("embedding").alias("d")
+                    ).first()
+                    # Zero-lexical-overlap aliases never co-block on strings:
+                    # the semantic channel contributes its own LSH candidates.
+                    sem = embedding_candidates(
+                        embeddings, dim=int(dim_row["d"]) if dim_row else 32
+                    )
+                    p = p.unionByName(sem).dropDuplicates(["name_x", "name_y"])
+                    p = (
+                        p.join(
+                            e.withColumnRenamed("name", "name_x").withColumnRenamed(
+                                "_v", "emb_x"
+                            ),
+                            "name_x",
+                            "left",
+                        ).join(
+                            e.withColumnRenamed("name", "name_y").withColumnRenamed(
+                                "_v", "emb_y"
+                            ),
+                            "name_y",
+                            "left",
+                        )
+                    )
+                scored = score_pairs(
+                    p,
+                    self._model_json,
+                    tfidf_json,
+                    threshold=self.threshold,
+                    keep_features=self.keep_features,
+                )
+                # vectors themselves never persist into the checkpoint — only
+                # their cosine and the decision they influenced
+                return scored.drop("emb_x", "emb_y")
+
+            scored = self._stage(
+                "scored_pairs",
+                _score_stage,
+                inputs=["candidate_pairs", "tfidf"],
+                params=score_params,
             )
             if self.overlap_tfidf:
-                tfidf_json, tfidf_meta = tfidf_future.result()
-        # Repartition before the Arrow-UDF scorer: the checkpointed pair
-        # table is small on disk and AQE would coalesce it to a few
-        # partitions, starving the (CPU-bound) scorer of parallelism.
-        # 1x parallelism, not 2x: each task pays a Python-worker Arrow
-        # round-trip, and the measured sweet spot is one ~20k-row Arrow
-        # batch per core (32 parts 3.10s / 64 parts 3.29s / 128 parts
-        # 4.27s on the 230k-pair bench stage).
-        n_part = self.spark.sparkContext.defaultParallelism
-        # Artifact identity rides in the params: a scored_pairs checkpoint
-        # produced with an older model or TF-IDF vocabulary must not be
-        # served after either artifact changes.
-        score_params = {
-            **block_params,
-            "threshold": self.threshold,
-            "keep_features": self.keep_features,
-            "model_md5": hashlib.md5(self._model_json.encode()).hexdigest(),
-            "tfidf": tfidf_meta,
-            # plan-hash of the optional embedding channel: a changed or
-            # newly-supplied vector table must invalidate scored_pairs
-            "embeddings": embeddings.semanticHash() if embeddings is not None else None,
-        }
+                block_future.result()  # surface worker failures; completes ~with scorer
+            matches = scored.where(F.col("prediction") == 1)
+            # Resolve the scale-adaptive ladder cap once, against the
+            # checkpointed names table, so the resolved value (not the "auto"
+            # marker) lands in the components-stage fingerprint — a corpus
+            # grown across a cap boundary invalidates the stage on resume.
+            refine_cap = self.refine_max_component
+            if refine_cap == "auto":
+                if self.clustering == "louvain":
+                    # Louvain ignores the ladder cap — don't spend a count()
+                    # job or record a misleading resolved value in the manifest.
+                    refine_cap = None
+                else:
+                    from name_matching_spark.operators.clustering import resolve_auto_cap
 
-        def _score_stage():
-            p = pairs.repartition(n_part)
-            if embeddings is not None:
-                from name_matching_spark.operators.similarity_search import (
-                    embedding_candidates,
-                )
-
-                e = embeddings.select(
-                    F.col("name"), F.col("embedding").alias("_v")
-                )
-                dim_row = embeddings.select(
-                    F.size("embedding").alias("d")
-                ).first()
-                # Zero-lexical-overlap aliases never co-block on strings:
-                # the semantic channel contributes its own LSH candidates.
-                sem = embedding_candidates(
-                    embeddings, dim=int(dim_row["d"]) if dim_row else 32
-                )
-                p = p.unionByName(sem).dropDuplicates(["name_x", "name_y"])
-                p = (
-                    p.join(
-                        e.withColumnRenamed("name", "name_x").withColumnRenamed(
-                            "_v", "emb_x"
-                        ),
-                        "name_x",
-                        "left",
-                    ).join(
-                        e.withColumnRenamed("name", "name_y").withColumnRenamed(
-                            "_v", "emb_y"
-                        ),
-                        "name_y",
-                        "left",
-                    )
-                )
-            scored = score_pairs(
-                p,
-                self._model_json,
-                tfidf_json,
-                threshold=self.threshold,
-                keep_features=self.keep_features,
-            )
-            # vectors themselves never persist into the checkpoint — only
-            # their cosine and the decision they influenced
-            return scored.drop("emb_x", "emb_y")
-
-        scored = self._stage(
-            "scored_pairs",
-            _score_stage,
-            inputs=["candidate_pairs", "tfidf"],
-            params=score_params,
-        )
-        matches = scored.where(F.col("prediction") == 1)
-        # Resolve the scale-adaptive ladder cap once, against the
-        # checkpointed names table, so the resolved value (not the "auto"
-        # marker) lands in the components-stage fingerprint — a corpus
-        # grown across a cap boundary invalidates the stage on resume.
-        refine_cap = self.refine_max_component
-        if refine_cap == "auto":
+                    # the names stage manifest already paid for this count
+                    n_names = self.ckpt.stored_rows("names")
+                    if n_names is None:
+                        n_names = names.count()
+                    refine_cap = resolve_auto_cap(n_names, self.refine_ladder)
             if self.clustering == "louvain":
-                # Louvain ignores the ladder cap — don't spend a count()
-                # job or record a misleading resolved value in the manifest.
-                refine_cap = None
-            else:
-                from name_matching_spark.operators.clustering import resolve_auto_cap
+                from name_matching_spark.operators.louvain import louvain_communities
 
-                # the names stage manifest already paid for this count
-                n_names = self.ckpt.stored_rows("names")
-                if n_names is None:
-                    n_names = names.count()
-                refine_cap = resolve_auto_cap(n_names, self.refine_ladder)
-        if self.clustering == "louvain":
-            from name_matching_spark.operators.louvain import louvain_communities
-
-            def cluster_fn():
-                return louvain_communities(
-                    matches.select(
-                        F.col("name_x").alias("src"), F.col("name_y").alias("dst")
+                def cluster_fn():
+                    return louvain_communities(
+                        matches.select(
+                            F.col("name_x").alias("src"), F.col("name_y").alias("dst")
+                        )
                     )
-                )
 
-        elif refine_cap is not None:
+            elif refine_cap is not None:
 
-            def cluster_fn():
-                # cosine_sim / align_edit / token_weakest_link ride along
-                # for the evidence rung and subsumption split (score_pairs
-                # always emits them, keep_features or not).  An
-                # embedding-verified edge (semantic channel) counts as
-                # near-exact evidence: without this the evidence rung would
-                # cut exactly the zero-lexical-overlap matches the channel
-                # exists to keep.
-                align = F.col("align_edit")
-                if "emb_cosine" in matches.columns:
-                    align = F.when(
-                        F.coalesce(F.col("emb_cosine"), F.lit(-1.0)) >= 0.95,
-                        F.lit(0.0),
-                    ).otherwise(align)
-                m = matches.select(
-                    F.col("name_x").alias("src"),
-                    F.col("name_y").alias("dst"),
-                    "probability",
-                    "cosine_sim",
-                    align.alias("align_edit"),
-                    "token_weakest_link",
-                    # raw margin (when the checkpoint carries it): ladder
-                    # rungs above 0.999 and attach tie-breaks rank with it
-                    # where the 4dp probability has saturated
-                    *(["margin"] if "margin" in matches.columns else []),
-                )
-                if self.subsume_attach:
-                    # Subsumption edges (initial/diminutive/prefix-
-                    # extension forms) are pair-level matches but ambiguous
-                    # CLUSTER evidence: they attach to a cluster, never
-                    # glue two (isolated all-subsumption families still
-                    # cluster among themselves under the same cap).
-                    return subsumption_aware_components(
+                def cluster_fn():
+                    # cosine_sim / align_edit / token_weakest_link ride along
+                    # for the evidence rung and subsumption split (score_pairs
+                    # always emits them, keep_features or not).  An
+                    # embedding-verified edge (semantic channel) counts as
+                    # near-exact evidence: without this the evidence rung would
+                    # cut exactly the zero-lexical-overlap matches the channel
+                    # exists to keep.
+                    align = F.col("align_edit")
+                    if "emb_cosine" in matches.columns:
+                        align = F.when(
+                            F.coalesce(F.col("emb_cosine"), F.lit(-1.0)) >= 0.95,
+                            F.lit(0.0),
+                        ).otherwise(align)
+                    m = matches.select(
+                        F.col("name_x").alias("src"),
+                        F.col("name_y").alias("dst"),
+                        "probability",
+                        "cosine_sim",
+                        align.alias("align_edit"),
+                        "token_weakest_link",
+                        # raw margin (when the checkpoint carries it): ladder
+                        # rungs above 0.999 and attach tie-breaks rank with it
+                        # where the 4dp probability has saturated
+                        *(["margin"] if "margin" in matches.columns else []),
+                    )
+                    if self.subsume_attach:
+                        # Subsumption edges (initial/diminutive/prefix-
+                        # extension forms) are pair-level matches but ambiguous
+                        # CLUSTER evidence: they attach to a cluster, never
+                        # glue two (isolated all-subsumption families still
+                        # cluster among themselves under the same cap).
+                        return subsumption_aware_components(
+                            m,
+                            max_component=refine_cap,
+                            ladder=self.refine_ladder,
+                            evidence_min_size=self.refine_evidence_min_size,
+                        )
+                    return refined_components(
                         m,
                         max_component=refine_cap,
                         ladder=self.refine_ladder,
                         evidence_min_size=self.refine_evidence_min_size,
                     )
-                return refined_components(
-                    m,
-                    max_component=refine_cap,
-                    ladder=self.refine_ladder,
-                    evidence_min_size=self.refine_evidence_min_size,
-                )
 
-        else:
+            else:
 
-            def cluster_fn():
-                return connected_components(
-                    matches.select(
-                        F.col("name_x").alias("src"), F.col("name_y").alias("dst")
+                def cluster_fn():
+                    return connected_components(
+                        matches.select(
+                            F.col("name_x").alias("src"), F.col("name_y").alias("dst")
+                        )
                     )
-                )
 
-        cluster_params = {
-            **score_params,
-            "clustering": self.clustering,
-            "refine_max_component": refine_cap,
-            "refine_cap_mode": "auto" if self.refine_max_component == "auto" else "fixed",
-            "refine_ladder": list(self.refine_ladder),
-            "refine_final_louvain": True,
-            "refine_evidence_rung": f"cos{EVIDENCE_MIN_COSINE}|align{EVIDENCE_MAX_ALIGN}",
-            "refine_evidence_min_size": self.refine_evidence_min_size,
-            "refine_subsumption_attach": self.subsume_attach,
-        }
-        components = self._stage(
-            "components",
-            cluster_fn,
-            inputs=["scored_pairs"],
-            params=cluster_params,
-        )
-        # Downstream-of-clustering stages must carry the clustering choice in
-        # their params too: otherwise a resume with clustering='louvain'
-        # recomputes components but silently serves stale entities/resolved
-        # tables built from the old CC components.
-        entities = self._stage(
-            "entities",
-            lambda: entity_table(components, names),
-            inputs=["components", "names"],
-            params=cluster_params,
-        )
-        resolved = self._stage(
-            "resolved_conversations",
-            lambda: resolve_records(conv, entities, ["name"]),
-            inputs=["conversations", "entities"],
-            params=cluster_params,
-        )
-        return {
-            "conversations": conv,
-            "names": names,
-            "candidate_pairs": pairs,
-            "scored_pairs": scored,
-            "components": components,
-            "entities": entities,
-            "resolved_conversations": resolved,
-        }
+            cluster_params = {
+                **score_params,
+                "clustering": self.clustering,
+                "refine_max_component": refine_cap,
+                "refine_cap_mode": "auto" if self.refine_max_component == "auto" else "fixed",
+                "refine_ladder": list(self.refine_ladder),
+                "refine_final_louvain": True,
+                "refine_evidence_rung": f"cos{EVIDENCE_MIN_COSINE}|align{EVIDENCE_MAX_ALIGN}",
+                "refine_evidence_min_size": self.refine_evidence_min_size,
+                "refine_subsumption_attach": self.subsume_attach,
+            }
+            components = self._stage(
+                "components",
+                cluster_fn,
+                inputs=["scored_pairs"],
+                params=cluster_params,
+            )
+            # Downstream-of-clustering stages must carry the clustering choice in
+            # their params too: otherwise a resume with clustering='louvain'
+            # recomputes components but silently serves stale entities/resolved
+            # tables built from the old CC components.
+            entities = self._stage(
+                "entities",
+                lambda: entity_table(components, names),
+                inputs=["components", "names"],
+                params=cluster_params,
+            )
+            resolved = self._stage(
+                "resolved_conversations",
+                lambda: resolve_records(conv, entities, ["name"]),
+                inputs=["conversations", "entities"],
+                params=cluster_params,
+            )
+            return {
+                "conversations": conv,
+                "names": names,
+                "candidate_pairs": pairs,
+                "scored_pairs": scored,
+                "components": components,
+                "entities": entities,
+                "resolved_conversations": resolved,
+            }
+        finally:
+            _pool.shutdown(wait=True)
 
 
 def run_pipeline(
