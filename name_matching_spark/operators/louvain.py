@@ -159,12 +159,15 @@ def louvain_communities(
     # Driver fast path, single job: bounded Arrow collect (no
     # localCheckpoint / count / row-iterator jobs when the graph fits —
     # same pattern as clustering._collect_bounded).
-    from name_matching_spark.operators.clustering import _collect_bounded
+    from name_matching_spark.operators.clustering import (
+        _collect_bounded,
+        labels_frame,
+    )
 
     first = _collect_bounded(canon, max_edges)
     if first is not None:
         labels = louvain_driver(iter(first), resolution=resolution)
-        return spark.createDataFrame(sorted(labels.items()), out_schema)
+        return labels_frame(spark, sorted(labels.items()), node_t)
     e = canon.localCheckpoint()
     n = e.count()
 
