@@ -45,6 +45,13 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # The pipeline overlaps independent stages (TF-IDF fit / blocking /
+        # metrics) from separate threads; FAIR keeps a later-submitted
+        # critical-path job from queueing behind a background job's tasks
+        # (single-job workloads are unaffected — one job owns every slot
+        # under either policy).  Measured on the overlapped ER pipeline:
+        # window med 4.49 -> 3.77 s, same min.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
